@@ -1,0 +1,151 @@
+"""Constraint handling for the Augmented-Lagrangian time stepper.
+
+Two constraint families, matching the reference:
+
+- `FixedCoefs`: pin selected coefficients (nodes for FEAT10, ANCF coefficient
+  vectors for beams/shells) to target positions. c = x[idx] - target; the
+  Jacobian is an identity selection, so J / J^T never materialize
+  (reference: `SetNodalFixed` `FEAT10Data.cu:728-749`, constraint eval
+  `FEAT10DataFunc.cuh:468-483`).
+
+- `LinearConstraints`: general sparse linear rows over the flattened DOF
+  space, c_r = sum_k J[r, k] x_flat[k] - b_r, stored as static COO arrays and
+  applied with gathers / segment sums (reference: `LinearConstraintCSR`
+  `lib_utils/mesh_utils.h:105-160`, `SetLinearConstraintsCSR`
+  `ANCF3243Data.cuh:810-852`).
+
+Both expose the same interface: `eval_c(x)`, `apply_jt(y)`, `n_constraints`,
+so solvers are agnostic to the constraint family.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = ["FixedCoefs", "LinearConstraints", "no_constraints"]
+
+
+@struct.dataclass
+class FixedCoefs:
+    """Pin coefficients `idx` to `target` positions (3 constraints each)."""
+
+    idx: jnp.ndarray  # (C,) int32
+    target: jnp.ndarray  # (C, 3)
+
+    @staticmethod
+    def from_indices(idx, x0) -> "FixedCoefs":
+        """Pin coefficients at their current positions in x0."""
+        idx = jnp.asarray(np.asarray(idx, dtype=np.int32))
+        return FixedCoefs(idx=idx, target=jnp.asarray(x0)[idx])
+
+    @property
+    def n_constraints(self) -> int:
+        return 3 * self.idx.shape[0]
+
+    def eval_c(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Constraint values, shape (C, 3)."""
+        return x[self.idx] - self.target
+
+    def apply_jt(self, y: jnp.ndarray, n_coef: int) -> jnp.ndarray:
+        """J^T @ y for y of shape (C, 3) -> (n_coef, 3)."""
+        out = jnp.zeros((n_coef, 3), dtype=y.dtype)
+        return out.at[self.idx].add(y)
+
+    def jtj_diag(self, n_coef: int, dtype) -> jnp.ndarray:
+        """diag(J^T J) over coefficients -> (n_coef,) of {0, 1}."""
+        out = jnp.zeros((n_coef,), dtype=dtype)
+        return out.at[self.idx].add(jnp.ones_like(self.idx, dtype=dtype))
+
+    def with_targets(self, target: jnp.ndarray) -> "FixedCoefs":
+        """Functional analogue of `UpdateConstraintTargets`
+        (`FEAT10Data.cuh:687-701`): prescribe new target positions."""
+        return FixedCoefs(idx=self.idx, target=jnp.asarray(target))
+
+
+@struct.dataclass
+class LinearConstraints:
+    """General sparse linear constraints over flattened DOFs (COO, static nnz).
+
+    rows/cols/vals: (nnz,) with rows in [0, n_rows); cols index x.ravel().
+    c = J x_flat - b.
+    """
+
+    rows: jnp.ndarray  # (nnz,) int32
+    cols: jnp.ndarray  # (nnz,) int32
+    vals: jnp.ndarray  # (nnz,)
+    b: jnp.ndarray  # (n_rows,)
+    n_rows: int = struct.field(pytree_node=False)
+
+    @property
+    def n_constraints(self) -> int:
+        return self.n_rows
+
+    def eval_c(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Constraint values, shape (n_rows,)."""
+        xf = x.reshape(-1)
+        contrib = self.vals * xf[self.cols]
+        return jnp.zeros((self.n_rows,), dtype=x.dtype).at[self.rows].add(contrib) - self.b
+
+    def apply_jt(self, y: jnp.ndarray, n_coef: int) -> jnp.ndarray:
+        """J^T @ y for y of shape (n_rows,) -> (n_coef, 3)."""
+        out = jnp.zeros((n_coef * 3,), dtype=y.dtype)
+        out = out.at[self.cols].add(self.vals * y[self.rows])
+        return out.reshape(n_coef, 3)
+
+    def jtj_diag(self, n_coef: int, dtype) -> jnp.ndarray:
+        """Per-DOF diag(J^T J) -> (n_coef, 3). Note: unlike FixedCoefs this is
+        per-DOF, callers broadcast appropriately."""
+        out = jnp.zeros((n_coef * 3,), dtype=dtype)
+        out = out.at[self.cols].add((self.vals * self.vals).astype(dtype))
+        return out.reshape(n_coef, 3)
+
+
+class LinearConstraintBuilder:
+    """Host-side accumulation of linear constraint rows (NumPy).
+
+    Mirrors the reference's `LinearConstraintBuilder` (`mesh_utils.h:
+    120-160`) plus the vector-equality / welded-joint appenders
+    (`mesh_utils.h:217-245`).
+    """
+
+    def __init__(self):
+        self._rows: list[int] = []
+        self._cols: list[int] = []
+        self._vals: list[float] = []
+        self._b: list[float] = []
+        self._n_rows = 0
+
+    def add_row(self, cols, vals, rhs: float = 0.0) -> int:
+        r = self._n_rows
+        for c, v in zip(cols, vals):
+            self._rows.append(r)
+            self._cols.append(int(c))
+            self._vals.append(float(v))
+        self._b.append(float(rhs))
+        self._n_rows += 1
+        return r
+
+    def fix_dof(self, coef: int, dof: int, value: float) -> int:
+        """x[coef, dof] = value."""
+        return self.add_row([coef * 3 + dof], [1.0], value)
+
+    def equate_dofs(self, coef_a: int, coef_b: int) -> None:
+        """Weld all 3 components of two coefficients together."""
+        for d in range(3):
+            self.add_row([coef_a * 3 + d, coef_b * 3 + d], [1.0, -1.0], 0.0)
+
+    def build(self, dtype=np.float64) -> LinearConstraints:
+        return LinearConstraints(
+            rows=jnp.asarray(np.asarray(self._rows, dtype=np.int32)),
+            cols=jnp.asarray(np.asarray(self._cols, dtype=np.int32)),
+            vals=jnp.asarray(np.asarray(self._vals, dtype=dtype)),
+            b=jnp.asarray(np.asarray(self._b, dtype=dtype)),
+            n_rows=self._n_rows,
+        )
+
+
+def no_constraints() -> None:
+    """Sentinel for unconstrained systems (use Python None)."""
+    return None

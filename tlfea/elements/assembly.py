@@ -1,0 +1,181 @@
+"""Unified device-side element representation and assembly kernels.
+
+Design: every element family (FEAT10 tet, ANCF3243 beam, ANCF3443 shell)
+reduces, after host-side precomputation, to the same four arrays:
+
+  conn       (E, S)  int32   element -> global coefficient indices
+  grad_N     (E, Q, S, 3)    physical shape-function gradients at QPs
+  dV         (E, Q)          detJ * quadrature weight (reference volume)
+  mass_elem  (E, S, S)       consistent per-element mass blocks
+
+so a single set of jitted, vmapped kernels — deformation gradient, stress,
+internal force, mass matvec — serves all families. This replaces the
+reference's per-family CUDA kernel triplicate (`lib_src/elements/
+{FEAT10,ANCF3243,ANCF3443}Data*.cu*`) with one batched compute path that XLA
+fuses and tiles for the VPU/MXU.
+
+"Coefficients" generalize nodes: for FEAT10 a coefficient is a node (S = 10);
+for ANCF each node carries 4 vector coefficients (position + 3 gradients), so
+S = 8 (3243) or 16 (3443), matching the reference's `n_coef` convention
+(`lib_src/elements/ANCF3243Data.cuh:434-440`).
+
+The global mass matrix is never assembled: M @ v is computed as a batched
+(E, S, S) x (E, S, 3) matmul plus a deterministic scatter-add (MXU-friendly),
+replacing the reference's CSR + atomicAdd assembly (`FEAT10Data.cu:206-278`)
+and CSR SpMV row loops (`SyncedNewton.cu:343-407`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tlfea.ops.segment import coef_scatter_add, gather_coefs
+
+__all__ = [
+    "ElementBatch",
+    "deformation_gradient",
+    "velocity_gradient",
+    "viscous_piola",
+    "total_piola",
+    "internal_force",
+    "mass_matvec",
+    "mass_diag",
+    "lumped_mass",
+]
+
+
+@struct.dataclass
+class ElementBatch:
+    """Device-resident batch of same-family elements (a pytree).
+
+    The reference's mutable `GPU_*_Data` device structs
+    (`lib_src/elements/ElementBase.h:22-50`) become this immutable pytree;
+    "Setup" is a pure host-side constructor in each family module.
+    """
+
+    conn: jnp.ndarray  # (E, S) int32
+    grad_N: jnp.ndarray  # (E, Q, S, 3)
+    dV: jnp.ndarray  # (E, Q)
+    mass_elem: jnp.ndarray  # (E, S, S)
+    n_coef: int = struct.field(pytree_node=False)
+
+    @property
+    def n_elem(self) -> int:
+        return self.conn.shape[0]
+
+    @property
+    def n_shape(self) -> int:
+        return self.conn.shape[1]
+
+    @property
+    def n_qp(self) -> int:
+        return self.grad_N.shape[1]
+
+    def astype(self, dtype) -> "ElementBatch":
+        return ElementBatch(
+            conn=self.conn,
+            grad_N=self.grad_N.astype(dtype),
+            dV=self.dV.astype(dtype),
+            mass_elem=self.mass_elem.astype(dtype),
+            n_coef=self.n_coef,
+        )
+
+
+def deformation_gradient(x: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:
+    """F at every quadrature point: F_ij = sum_a x_a[i] * dN_a/dX[j].
+
+    x: (n_coef, 3) current coefficient positions -> (E, Q, 3, 3).
+    Reference: `compute_p` F accumulation (`FEAT10DataFunc.cuh:85-130`).
+    """
+    xe = gather_coefs(x, elems.conn)  # (E, S, 3)
+    return jnp.einsum("eai,eqaj->eqij", xe, elems.grad_N)
+
+
+def velocity_gradient(v: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:
+    """Fdot at every QP from coefficient velocities v: (n_coef, 3)."""
+    ve = gather_coefs(v, elems.conn)
+    return jnp.einsum("eai,eqaj->eqij", ve, elems.grad_N)
+
+
+def viscous_piola(F: jnp.ndarray, Fdot: jnp.ndarray, eta: jnp.ndarray, lam_d: jnp.ndarray) -> jnp.ndarray:
+    """Kelvin-Voigt viscous first Piola stress.
+
+    P_vis = F S_vis with S_vis = 2 eta Edot + lam_d tr(Edot) I and
+    Edot = (Fdot^T F + F^T Fdot)/2. Reference: `FEAT10DataFunc.cuh:135-232`.
+    """
+    FdotT_F = jnp.einsum("...ki,...kj->...ij", Fdot, F)
+    Edot = 0.5 * (FdotT_F + jnp.swapaxes(FdotT_F, -1, -2))
+    trEdot = Edot[..., 0, 0] + Edot[..., 1, 1] + Edot[..., 2, 2]
+    eye = jnp.eye(3, dtype=F.dtype)
+    S_vis = 2.0 * eta * Edot + (lam_d * trEdot)[..., None, None] * eye
+    return jnp.einsum("...ik,...kj->...ij", F, S_vis)
+
+
+def total_piola(x: jnp.ndarray, v: jnp.ndarray | None, elems: ElementBatch, material) -> jnp.ndarray:
+    """Elastic + viscous first Piola stress at every QP -> (E, Q, 3, 3)."""
+    F = deformation_gradient(x, elems)
+    P = material.first_piola(F)
+    if v is not None:
+        # Trace-time zero test keeps undamped materials free of the extra work.
+        damped = _is_nonzero(material.eta_damp) or _is_nonzero(material.lam_damp)
+        if damped:
+            Fdot = velocity_gradient(v, elems)
+            P = P + viscous_piola(F, Fdot, material.eta_damp, material.lam_damp)
+    return P
+
+
+def _is_nonzero(p) -> bool:
+    """True unless p is a concrete (non-traced) zero."""
+    if isinstance(p, (int, float)):
+        return p != 0.0
+    arr = np.asarray(p) if not hasattr(p, "aval") else None
+    if arr is not None and arr.size == 1:
+        return bool(arr != 0.0)
+    return True  # traced value: assume damping may be active
+
+
+def internal_force(
+    x: jnp.ndarray,
+    v: jnp.ndarray | None,
+    elems: ElementBatch,
+    material,
+) -> jnp.ndarray:
+    """Global internal force f_int: (n_coef, 3).
+
+    f_a = sum_q P(q) grad_N_a(q) dV(q), scattered over connectivity.
+    Reference: `compute_internal_force` (`FEAT10DataFunc.cuh:397-458`), with
+    the atomicAdd scatter replaced by a deterministic segment reduction.
+    """
+    P = total_piola(x, v, elems, material)
+    fe = jnp.einsum("eqij,eqaj,eq->eai", P, elems.grad_N, elems.dV)
+    return coef_scatter_add(fe, elems.conn, elems.n_coef)
+
+
+def mass_matvec(v: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:
+    """Consistent-mass product M @ v without assembling M.
+
+    v: (n_coef, 3) -> (n_coef, 3). Batched (E,S,S)x(E,S,3) matmul + scatter.
+    """
+    ve = gather_coefs(v, elems.conn)
+    mv = jnp.einsum("eab,ebi->eai", elems.mass_elem, ve)
+    return coef_scatter_add(mv, elems.conn, elems.n_coef)
+
+
+def mass_diag(elems: ElementBatch) -> jnp.ndarray:
+    """Diagonal of the assembled consistent mass matrix -> (n_coef,).
+
+    Used by block-Jacobi preconditioners (the reference extracts the same
+    diagonal blocks from its mass CSR: `SyncedVBD.cu:1030-1075`).
+    """
+    diag_e = jnp.einsum("eaa->ea", elems.mass_elem)  # (E, S)
+    out = jnp.zeros((elems.n_coef,), dtype=diag_e.dtype)
+    return out.at[elems.conn.reshape(-1)].add(diag_e.reshape(-1))
+
+
+def lumped_mass(elems: ElementBatch) -> jnp.ndarray:
+    """Row-sum lumped mass -> (n_coef,)."""
+    rows = jnp.sum(elems.mass_elem, axis=2)  # (E, S)
+    out = jnp.zeros((elems.n_coef,), dtype=rows.dtype)
+    return out.at[elems.conn.reshape(-1)].add(rows.reshape(-1))

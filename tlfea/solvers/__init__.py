@@ -1,0 +1,9 @@
+"""Implicit backward-Euler ALM solvers: Newton-PCG, Nesterov, AdamW, VBD.
+
+All solvers share the `step(system, state, params, f_ext) -> (state, diag)`
+interface and are interchangeable, mirroring the reference's `SolverBase`
+(`lib_src/solvers/SolverBase.h:16-23`).
+"""
+
+from tlfea.solvers.common import System, StepState, grad_L  # noqa: F401
+from tlfea.solvers import newton, adamw, nesterov  # noqa: F401

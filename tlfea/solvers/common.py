@@ -1,0 +1,143 @@
+"""Shared machinery for the implicit time-step solvers.
+
+Every solver integrates the same dynamics: one backward-Euler step
+x_{n+1} = x_n + h v_{n+1} is found as an Augmented-Lagrangian optimization
+over the velocity v:
+
+  g(v) = M (v - v_prev)/h + f_int(x_prev + h v) - f_ext
+         + h J^T (lambda + rho c(x_prev + h v))
+
+(the reference's `solver_grad_L`, `lib_src/solvers/SyncedNewton.cu:343-407`).
+Inner loops minimize over v (Newton-PCG, Nesterov, AdamW, or VBD); the outer
+loop updates duals lambda += rho * c (Newton, `SyncedNewton.cu:470-481`) or
+lambda += rho * h * c (first-order solvers, `SyncedNesterov.cu:335-341`) and
+stops when ||c|| < outer_tol.
+
+On TPU the whole step — inner loop, convergence predicates, dual updates —
+lives inside one jitted function using `lax.while_loop`, so there is no
+device->host readback per iteration (the reference reads ||g|| back to the
+host every inner iteration: `SyncedNewton.cu:1063-1074`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tlfea.elements.assembly import ElementBatch, internal_force, mass_matvec, mass_diag
+
+__all__ = ["System", "StepState", "grad_L", "eval_constraints", "precond_blocks"]
+
+
+@struct.dataclass
+class System:
+    """Static problem definition: elements + material + constraints.
+
+    `constraints` is None, a FixedCoefs, or a LinearConstraints pytree.
+    External force is passed per-step (it changes under collision coupling).
+    """
+
+    elems: ElementBatch
+    material: Any
+    constraints: Any = None
+
+    @property
+    def n_coef(self) -> int:
+        return self.elems.n_coef
+
+
+@struct.dataclass
+class StepState:
+    """Dynamic state advanced step to step."""
+
+    x: jnp.ndarray  # (n_coef, 3) coefficient positions
+    v: jnp.ndarray  # (n_coef, 3) coefficient velocities
+    lam: jnp.ndarray  # dual variables, shaped like eval_constraints output
+
+    @staticmethod
+    def rest(system: System, x0: jnp.ndarray) -> "StepState":
+        x0 = jnp.asarray(x0)
+        cons = system.constraints
+        if cons is None:
+            lam = jnp.zeros((0,), dtype=x0.dtype)
+        else:
+            c0 = eval_constraints(cons, x0)
+            lam = jnp.zeros_like(c0)
+        return StepState(x=x0, v=jnp.zeros_like(x0), lam=lam)
+
+
+def eval_constraints(cons, x: jnp.ndarray):
+    """c(x); shape (C, 3) for FixedCoefs or (n_rows,) for LinearConstraints."""
+    return cons.eval_c(x)
+
+
+def grad_L(
+    v: jnp.ndarray,
+    x_prev: jnp.ndarray,
+    v_prev: jnp.ndarray,
+    lam: jnp.ndarray,
+    f_ext: jnp.ndarray,
+    dt,
+    rho,
+    system: System,
+) -> jnp.ndarray:
+    """ALM gradient g(v), shape (n_coef, 3). Pure in v -> exact Hv via jax.jvp."""
+    elems = system.elems
+    x = x_prev + dt * v
+    g = mass_matvec(v - v_prev, elems) / dt
+    g = g + internal_force(x, v, elems, system.material) - f_ext
+    cons = system.constraints
+    if cons is not None:
+        c = eval_constraints(cons, x)
+        g = g + dt * cons.apply_jt(lam + rho * c, elems.n_coef)
+    return g
+
+
+def precond_blocks(
+    v: jnp.ndarray,
+    x_prev: jnp.ndarray,
+    dt,
+    rho,
+    system: System,
+) -> jnp.ndarray:
+    """Block-Jacobi 3x3 preconditioner blocks of dg/dv -> (n_coef, 3, 3).
+
+    H_aa ~= m_aa/h I + h * sum_{(e,q): a in e} K_block(F_eq, gradN_eqa) dV
+            + h^2 rho (J^T J)_aa.
+
+    The same per-node blocks the reference computes for VBD
+    (`SyncedVBD.cu:162-377`) and that its unused CG scaffolding anticipated
+    (`SyncedNewton.cuh:105-109`).
+    """
+    elems = system.elems
+    x = x_prev + dt * v
+    from tlfea.elements.assembly import deformation_gradient
+
+    F = deformation_gradient(x, elems)  # (E, Q, 3, 3)
+    # (E, Q, S, 3, 3) diag tangent blocks, weighted by dt * dV.
+    Kb = system.material.tangent_diag_block(F[:, :, None, :, :], elems.grad_N)
+    Kb = Kb * (dt * elems.dV)[:, :, None, None, None]
+    Kb = Kb.sum(axis=1)  # (E, S, 3, 3)
+    blocks = jnp.zeros((elems.n_coef, 3, 3), dtype=v.dtype)
+    blocks = blocks.at[elems.conn.reshape(-1)].add(Kb.reshape(-1, 3, 3))
+
+    eye = jnp.eye(3, dtype=v.dtype)
+    md = mass_diag(elems) / dt  # (n_coef,)
+    blocks = blocks + md[:, None, None] * eye
+
+    cons = system.constraints
+    if cons is not None:
+        d = cons.jtj_diag(elems.n_coef, v.dtype)  # (n_coef,) or (n_coef, 3)
+        if d.ndim == 1:
+            blocks = blocks + (dt * dt * rho) * d[:, None, None] * eye
+        else:
+            blocks = blocks + (dt * dt * rho) * jnp.einsum("ad,de->ade", d, eye)
+    return blocks
+
+
+def flat_norm(a: jnp.ndarray) -> jnp.ndarray:
+    """L2 norm of an arbitrarily-shaped array viewed as a flat vector."""
+    return jnp.sqrt(jnp.sum(a * a))
