@@ -1,0 +1,100 @@
+"""Headline benchmark: implicit Newton-PCG steps/sec on a 10k-element T10 mesh.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context: the reference publishes no numbers (BASELINE.md); the
+driver-assigned north-star is a <=10 ms implicit Newton step at 100k elements
+on a v5p-8 (8 chips) = 12.5k elements per chip per 10 ms. We run ~10.6k
+elements on the single available chip, so vs_baseline = measured steps/sec
+divided by the 100 steps/sec that north-star implies at this per-chip scale.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("TLFEA_NO_X64", "1")  # float32 on TPU
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tlfea.constraints import FixedCoefs
+    from tlfea.elements import feat10
+    from tlfea.elements.assembly import lumped_mass
+    from tlfea.materials import SVK, lame_from_E_nu
+    from tlfea.solvers import System, StepState, newton
+    from tlfea.utils.tetmesh import box_t10_mesh
+
+    dtype = np.float32
+    # 6 * 42 * 7 * 6 = 10,584 elements.
+    nodes, conn = box_t10_mesh(2.0, 0.35, 0.3, 42, 7, 6)
+    n_elem = conn.shape[0]
+
+    lam, mu = lame_from_E_nu(1e7, 0.3)
+    mat = SVK(
+        lam=jnp.asarray(lam, dtype),
+        mu=jnp.asarray(mu, dtype),
+        eta_damp=jnp.asarray(1e3, dtype),
+        lam_damp=jnp.asarray(1e3, dtype),
+    )
+    fixed = np.nonzero(nodes[:, 0] < 1e-12)[0]
+    elems = feat10.build(nodes, conn, rho=1000.0, dtype=dtype)
+    system = System(
+        elems=elems, material=mat, constraints=FixedCoefs.from_indices(fixed, nodes.astype(dtype))
+    )
+    state = StepState.rest(system, nodes.astype(dtype))
+    f_ext = (
+        jnp.zeros((nodes.shape[0], 3), dtype).at[:, 2].add(lumped_mass(elems) * dtype(-9.81))
+    )
+    # Fixed iteration budget so every step does identical work:
+    # 1 outer x 4 Newton x 25 CG (tolerances set unreachably tight).
+    params = newton.NewtonParams(
+        dt=dtype(1e-3),
+        rho=dtype(1e7),
+        inner_atol=dtype(0.0),
+        inner_rtol=dtype(0.0),
+        outer_tol=dtype(0.0),
+        max_outer=1,
+        max_inner=4,
+        cg_rtol=dtype(0.0),
+        cg_max_iter=25,
+    )
+    step = newton.make_step(system, params)
+
+    # Warmup / compile.
+    s, d = step(state, f_ext)
+    jax.block_until_ready(s)
+
+    n_steps = 10
+    times = []
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        s, d = step(s, f_ext)
+        jax.block_until_ready(s)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    steps_per_sec = 1.0 / p50
+
+    assert np.isfinite(np.asarray(s.x)).all(), "simulation diverged"
+
+    # North-star: 100k elems / 10 ms on 8 chips -> 12.5k elems per chip per
+    # 10 ms -> at 10.6k elems a step budget of ~8.5 ms -> 118 steps/s.
+    target_steps_per_sec = 1.0 / (0.010 * (n_elem / 12500.0))
+    print(
+        json.dumps(
+            {
+                "metric": f"implicit_newton_steps_per_sec_T10_{n_elem}elem",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / target_steps_per_sec, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
