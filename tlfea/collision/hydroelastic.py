@@ -1,0 +1,85 @@
+"""Hydroelastic contact-patch collision system (the `CollisionSystem`
+backend-agnostic contract, reference `lib_src/collision/CollisionSystemBase.h:
+36-47`: bind nodes -> Step(positions, velocities, dt) -> per-node f_ext).
+
+One jitted `step`: broadphase window pairs -> vmapped narrowphase -> patch
+forces. Everything stays on device; the per-step D2H/H2D copies of the
+reference's legacy path (`test_sphere_drop_collision.cc:284-374`) have no
+equivalent here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tlfea.collision.broadphase import BroadphaseSetup, find_pairs, setup_broadphase
+from tlfea.collision.forces import patch_forces
+from tlfea.collision.narrowphase import ContactPatches, compute_patches
+
+__all__ = ["HydroelasticParams", "HydroelasticCollision"]
+
+
+@struct.dataclass
+class HydroelasticParams:
+    """Step params (reference `CollisionSystemParams`,
+    `CollisionSystemBase.h:17-24`)."""
+
+    damping: jnp.ndarray = 0.0
+    friction: jnp.ndarray = 0.0
+
+
+class HydroelasticCollision:
+    """Stateful orchestrator bound to a fixed multi-mesh scene topology.
+
+    scene topology = (conn, mesh_ids, per-node pressures). Positions and
+    velocities are passed per step.
+    """
+
+    def __init__(
+        self,
+        conn: np.ndarray,
+        mesh_ids: np.ndarray,
+        pressures: np.ndarray,
+        window: int = 32,
+        margin: float = 0.0,
+        enable_self_collision: bool = False,
+    ):
+        self.bp: BroadphaseSetup = setup_broadphase(
+            conn, mesh_ids, window=window, margin=margin
+        )
+        self.pressures = jnp.asarray(pressures)
+        self.enable_self_collision = bool(enable_self_collision)
+
+        bp = self.bp
+        self_col = self.enable_self_collision
+        pressures_dev = self.pressures
+
+        @jax.jit
+        def _step(x, v, params: HydroelasticParams):
+            pairs, valid, overflow = find_pairs(bp, x, self_col)
+            patches = compute_patches(
+                x, pressures_dev, bp.corners, pairs, valid, bp.mesh_ids, self_col
+            )
+            f = patch_forces(
+                patches, x, v, bp.corners,
+                damping=params.damping, friction=params.friction,
+            )
+            return f, patches, overflow
+
+        self._step = _step
+
+    def step(self, x, v=None, params: HydroelasticParams | None = None):
+        """-> (f_ext (n_nodes, 3), ContactPatches, window_overflow: bool)."""
+        if params is None:
+            params = HydroelasticParams()
+        if v is None:
+            v = jnp.zeros_like(x)
+        return self._step(jnp.asarray(x), jnp.asarray(v), params)
+
+    def patches(self, x) -> ContactPatches:
+        """Narrowphase only (for inspection/visualization)."""
+        _, patches, _ = self.step(x)
+        return patches
