@@ -1,0 +1,123 @@
+"""Simulation driver: couples a time-step solver with collision and external
+forces, plus checkpoint/resume.
+
+This is the library form of the reference's demo main loops
+(`lib_bin/collision_system/test_sphere_drop_collision.cc:280-446`:
+collision -> f_ext -> solver.Solve() -> export), with two upgrades the
+reference lacks:
+- everything stays on device between steps (the reference's legacy hydro
+  path does D2H/H2D copies each step);
+- state snapshots (`save_state` / `load_state`) — the reference has no
+  checkpoint/resume at all (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from tlfea.elements.assembly import lumped_mass
+from tlfea.solvers.common import StepState, System
+
+__all__ = ["Simulation", "gravity_force"]
+
+
+def gravity_force(system: System, g=(0.0, 0.0, -9.81)) -> jnp.ndarray:
+    """Consistent (lumped) gravity load for the whole system."""
+    m = lumped_mass(system.elems)
+    g = jnp.asarray(g, dtype=m.dtype)
+    return m[:, None] * g[None, :]
+
+
+class Simulation:
+    """Composable stepping loop.
+
+    solver_step: callable (system, state, f_ext) -> (state, diag) — e.g.
+      `newton.stepper(params)` or `vbd.stepper(params, structures)`. Passing
+      the system per call keeps constraint retargeting (prescribed motion)
+      and material changes working without retracing.
+    collision: optional `HydroelasticCollision` (or anything with
+      `.step(x, v, params) -> (f_ext, patches, overflow)`).
+    """
+
+    def __init__(
+        self,
+        system: System,
+        state: StepState,
+        solver_step: Callable,
+        base_f_ext: jnp.ndarray | None = None,
+        collision: Any = None,
+        collision_params: Any = None,
+    ):
+        self.system = system
+        self.state = state
+        self.solver_step = solver_step
+        n = system.n_coef
+        self.base_f_ext = (
+            jnp.zeros((n, 3), dtype=state.x.dtype) if base_f_ext is None else jnp.asarray(base_f_ext)
+        )
+        self.collision = collision
+        self.collision_params = collision_params
+        self.step_count = 0
+        self.last_patches = None
+        self.last_diag: dict = {}
+
+    def step(self) -> dict:
+        f_ext = self.base_f_ext
+        if self.collision is not None:
+            f_col, patches, overflow = self.collision.step(
+                self.state.x, self.state.v, self.collision_params
+            )
+            f_ext = f_ext + f_col
+            self.last_patches = patches
+            if bool(overflow):
+                raise RuntimeError(
+                    "broadphase window overflow — increase HydroelasticCollision(window=...)"
+                )
+        self.state, diag = self.solver_step(self.system, self.state, f_ext)
+        self.step_count += 1
+        self.last_diag = diag
+        return diag
+
+    def run(self, n_steps: int, callback: Callable | None = None):
+        for k in range(n_steps):
+            diag = self.step()
+            if callback is not None:
+                callback(self, k, diag)
+        return self.state
+
+    # -- state injection (reference `UpdatePositions` /
+    # `UpdateConstraintTargets`, `FEAT10Data.cuh:671-701`) ----------------
+    def set_positions(self, x) -> None:
+        self.state = StepState(x=jnp.asarray(x), v=self.state.v, lam=self.state.lam)
+
+    def set_constraint_targets(self, target) -> None:
+        cons = self.system.constraints
+        if cons is None or not hasattr(cons, "with_targets"):
+            raise ValueError("system has no retargetable constraints")
+        self.system = System(
+            elems=self.system.elems,
+            material=self.system.material,
+            constraints=cons.with_targets(jnp.asarray(target)),
+        )
+
+    # -- checkpoint / resume ---------------------------------------------
+    def save_state(self, path: str) -> None:
+        np.savez(
+            path,
+            x=np.asarray(self.state.x),
+            v=np.asarray(self.state.v),
+            lam=np.asarray(self.state.lam),
+            step_count=self.step_count,
+        )
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        self.state = StepState(
+            x=jnp.asarray(data["x"]),
+            v=jnp.asarray(data["v"]),
+            lam=jnp.asarray(data["lam"]),
+        )
+        self.step_count = int(data["step_count"])

@@ -128,3 +128,15 @@ def make_step(system: System, params: AdamWParams):
         return _step(system, state, params, f_ext)
 
     return _f
+
+
+def stepper(params):
+    """Jitted step(system, state, f_ext) — the `Simulation` contract; the
+    system is a pytree argument, so constraint targets / material parameters
+    may change between calls without retracing."""
+
+    @jax.jit
+    def _f(system, state, f_ext):
+        return _step(system, state, params, f_ext)
+
+    return _f

@@ -170,11 +170,7 @@ def _color_update(v, x_prev, v_prev, lam, f_ext, F, P, nodes, nmask, structures,
     return v, x
 
 
-def make_step(system: System, params: VBDParams, structures: VBDStructures | None = None):
-    """Return a jitted step(state, f_ext) for the VBD solver."""
-    if structures is None:
-        structures = prepare(system, group_size=params.color_group_size)
-
+def _step_impl(system: System, structures: VBDStructures, params: VBDParams, state: StepState, f_ext):
     elems = system.elems
     cons = system.constraints
     dt = params.dt
@@ -221,7 +217,7 @@ def make_step(system: System, params: VBDParams, structures: VBDStructures | Non
         v, sweeps, _ = jax.lax.while_loop(cond, body, (v0, 0, False))
         return v, sweeps
 
-    def _step(state: StepState, f_ext):
+    def _run(state: StepState, f_ext):
         x_prev = state.x
 
         def outer_body(carry):
@@ -251,4 +247,27 @@ def make_step(system: System, params: VBDParams, structures: VBDStructures | Non
             "norm_c": norm_c,
         }
 
-    return jax.jit(_step)
+    return _run(state, f_ext)
+
+
+def make_step(system: System, params: VBDParams, structures: VBDStructures | None = None):
+    """Return a jitted step(state, f_ext) for a fixed system."""
+    if structures is None:
+        structures = prepare(system, group_size=params.color_group_size)
+
+    @jax.jit
+    def _f(state, f_ext):
+        return _step_impl(system, structures, params, state, f_ext)
+
+    return _f
+
+
+def stepper(params: VBDParams, structures: VBDStructures):
+    """Return a jitted step(system, state, f_ext) — the `Simulation`
+    contract, supporting dynamic constraint targets / material params."""
+
+    @jax.jit
+    def _f(system, state, f_ext):
+        return _step_impl(system, structures, params, state, f_ext)
+
+    return _f
