@@ -1,0 +1,129 @@
+"""Two deformable T10 spheres dropping under gravity with hydroelastic
+contact + implicit Newton solve, with per-phase timing stats.
+
+Workload parity: reference `lib_bin/collision_system/
+test_sphere_drop_collision.cc:29-474` (2 x 256-element spheres, dt=5e-4,
+per-phase collision timing printed at the end).
+
+Run: python examples/sphere_drop_collision.py --steps=200
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tlfea.collision.hydroelastic import HydroelasticCollision, HydroelasticParams
+from tlfea.constraints import FixedCoefs
+from tlfea.elements import feat10
+from tlfea.materials import SVK, lame_from_E_nu
+from tlfea.simulation import Simulation, gravity_force
+from tlfea.solvers import System, StepState
+from tlfea.utils import io_vtk
+from tlfea.utils.cli import Cli
+from tlfea.utils.mesh_manager import MeshManager
+from tlfea.utils.pressure import distance_pressure_field
+from tlfea.utils.tetmesh import box_t10_mesh
+
+from _common import REF_DATA, make_solver, out_dir
+
+
+def main():
+    args = (
+        Cli("sphere drop with hydroelastic contact (reference: test_sphere_drop_collision.cc)")
+        .add("solver", "newton", "newton|nesterov|adamw|vbd")
+        .add("steps", 200, "time steps")
+        .add("dt", 5e-4, "time step [s]")
+        .add("E", 1e6, "Young's modulus")
+        .add("nu", 0.3, "Poisson ratio")
+        .add("rho0", 1000.0, "density")
+        .add("damping", 1e2, "material Kelvin-Voigt damping")
+        .add("contact_damping", 0.0, "hydroelastic normal damping")
+        .add("friction", 0.3, "Coulomb friction coefficient")
+        .add("modulus", 1e6, "hydroelastic modulus for the pressure fields")
+        .add("rho_alm", 1e8, "ALM penalty")
+        .add("drop_height", 0.15, "initial gap between spheres")
+        .add("vtk_every", 25, "export interval (0 = off)")
+        .parse()
+    )
+
+    mm = MeshManager()
+    node = os.path.join(REF_DATA, "meshes/T10/sphere.1.node")
+    ele = os.path.join(REF_DATA, "meshes/T10/sphere.1.ele")
+    if os.path.exists(node):
+        a = mm.load_mesh(node, ele, "sphere_a")
+        b = mm.load_mesh(node, ele, "sphere_b")
+    else:
+        nodes1, conn1 = box_t10_mesh(0.5, 0.5, 0.5, 2, 2, 2)
+        a = mm.add_mesh(nodes1, conn1, "box_a")
+        b = mm.add_mesh(nodes1, conn1, "box_b")
+
+    # Stack sphere b above a with a gap; pressure = modulus * depth.
+    za = mm.mesh_nodes(a)[:, 2]
+    mm.translate_mesh(b, (0.0, 0.0, za.max() - za.min() + args["drop_height"]))
+    for mid in (a, b):
+        inst_nodes = mm.mesh_nodes(mid)
+        inst = mm.instances[mid]
+        conn_local = mm.elements[inst.elem_offset : inst.elem_offset + inst.n_elems] - inst.node_offset
+        mm.set_scalar_field(mid, distance_pressure_field(inst_nodes, conn_local, args["modulus"]))
+
+    nodes, conn = mm.nodes, mm.elements
+    print(f"scene: {conn.shape[0]} elems, {nodes.shape[0]} nodes")
+
+    elems = feat10.build(nodes, conn, rho=args["rho0"])
+    lam, mu = lame_from_E_nu(args["E"], args["nu"])
+    mat = SVK(lam=lam, mu=mu, eta_damp=args["damping"], lam_damp=args["damping"])
+    # Clamp the bottom ring of sphere a as the "floor" anchor.
+    zmin = nodes[:, 2].min()
+    fixed = np.nonzero(nodes[:, 2] < zmin + 0.05 * (nodes[:, 2].max() - zmin))[0]
+    system = System(
+        elems=elems, material=mat, constraints=FixedCoefs.from_indices(fixed, nodes)
+    )
+    state = StepState.rest(system, nodes)
+
+    collision = HydroelasticCollision(
+        conn, mm.elem_mesh_ids(), mm.scalar_field(), window=256, max_pairs=4096
+    )
+    col_params = HydroelasticParams(
+        damping=args["contact_damping"], friction=args["friction"]
+    )
+
+    step = make_solver(args["solver"], system, args["dt"], args["rho_alm"])
+    sim = Simulation(
+        system, state, step,
+        base_f_ext=gravity_force(system),
+        collision=collision, collision_params=col_params,
+    )
+
+    d = out_dir("sphere_drop")
+    col_t = solve_t = 0.0
+    for k in range(args["steps"]):
+        t0 = time.time()
+        f_col, patches, overflow = collision.step(sim.state.x, sim.state.v, col_params)
+        jax.block_until_ready(f_col)
+        col_t += time.time() - t0
+        t0 = time.time()
+        diag = sim.step()
+        jax.block_until_ready(sim.state.x)
+        solve_t += time.time() - t0 - 0.0
+        if k % 20 == 0:
+            nc = int(np.asarray(patches.n_contacts))
+            print(f"step {k:4d} contacts={nc:4d} |c|={float(diag['norm_c']):.1e}")
+        if args["vtk_every"] and k % args["vtk_every"] == 0:
+            io_vtk.write_vtu_t10(
+                os.path.join(d, f"scene_{k:05d}.vtu"), np.asarray(sim.state.x), conn
+            )
+            io_vtk.write_vtp_patches(os.path.join(d, f"patches_{k:05d}.vtp"), sim.last_patches or patches)
+
+    n = args["steps"]
+    print(f"avg collision: {1e3*col_t/n:.2f} ms/step; avg solve+collision: {1e3*solve_t/n:.2f} ms/step")
+    print(f"outputs in {d}/")
+
+
+if __name__ == "__main__":
+    main()

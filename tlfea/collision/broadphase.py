@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["BroadphaseSetup", "setup_broadphase", "find_pairs"]
+__all__ = ["BroadphaseSetup", "setup_broadphase", "find_pairs", "compact_pairs"]
 
 
 @struct.dataclass
@@ -93,9 +93,20 @@ def find_pairs(bp: BroadphaseSetup, x: jnp.ndarray, enable_self_collision: bool 
     lo = jnp.min(pts, axis=1) - bp.margin  # (E, 3)
     hi = jnp.max(pts, axis=1) + bp.margin
 
-    order = jnp.argsort(lo[:, 0])
+    # Sweep along the axis with the largest spread of box centers — the
+    # reference always sorts min-x (`HydroelasticBroadphase.cu:387-420`),
+    # which degenerates for scenes stacked along another axis; the adaptive
+    # axis keeps the per-element candidate window small.
+    centers = 0.5 * (lo + hi)
+    axis = jnp.argmax(jnp.max(centers, axis=0) - jnp.min(centers, axis=0))
+    lo_key = jnp.take_along_axis(lo, jnp.full((lo.shape[0], 1), axis), axis=1)[:, 0]
+    hi_key = jnp.take_along_axis(hi, jnp.full((hi.shape[0], 1), axis), axis=1)[:, 0]
+
+    order = jnp.argsort(lo_key)
     lo_s = lo[order]
     hi_s = hi[order]
+    lo_key_s = lo_key[order]
+    hi_key_s = hi_key[order]
     E = lo.shape[0]
     K = bp.window
 
@@ -105,16 +116,15 @@ def find_pairs(bp: BroadphaseSetup, x: jnp.ndarray, enable_self_collision: bool 
     in_range = j_idx < E
     j_safe = jnp.minimum(j_idx, E - 1)
 
-    # Sweep condition: next box starts before this box ends (x axis).
-    x_overlap = lo_s[j_safe, 0] <= hi_s[:, 0:1]
-    # Full AABB overlap on y, z.
-    yz_overlap = (
-        (lo_s[j_safe, 1] <= hi_s[:, 1:2])
-        & (hi_s[j_safe, 1] >= lo_s[:, 1:2])
-        & (lo_s[j_safe, 2] <= hi_s[:, 2:3])
-        & (hi_s[j_safe, 2] >= lo_s[:, 2:3])
+    # Sweep condition: next box starts before this box ends (sweep axis).
+    x_overlap = lo_key_s[j_safe] <= hi_key_s[:, None]
+    # Full AABB overlap on all 3 axes (the sweep axis test is redundant but
+    # cheap).
+    box_overlap = jnp.all(
+        (lo_s[j_safe] <= hi_s[:, None, :]) & (hi_s[j_safe] >= lo_s[:, None, :]),
+        axis=-1,
     )
-    valid = in_range & x_overlap & yz_overlap
+    valid = in_range & x_overlap & box_overlap
 
     # Detect window overflow: x-sweep still open at the last window slot.
     window_overflow = jnp.any(in_range[:, -1] & x_overlap[:, -1])
@@ -134,3 +144,18 @@ def find_pairs(bp: BroadphaseSetup, x: jnp.ndarray, enable_self_collision: bool 
 
     pairs = jnp.stack([ea.reshape(-1), eb.reshape(-1)], axis=1).astype(jnp.int32)
     return pairs, valid.reshape(-1), window_overflow
+
+
+def compact_pairs(pairs: jnp.ndarray, valid: jnp.ndarray, capacity: int):
+    """Compact valid pairs to a fixed capacity (stable order).
+
+    The narrowphase then costs O(capacity) regardless of broadphase window
+    size — the static-shape equivalent of the reference's count -> scan ->
+    emit pass (`HydroelasticBroadphase.cu:568-660`). Returns
+    (pairs (capacity, 2), valid (capacity,), overflow: bool).
+    """
+    n_valid = jnp.sum(valid)
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)[:capacity]
+    out_pairs = pairs[order]
+    out_valid = valid[order]
+    return out_pairs, out_valid, n_valid > capacity

@@ -15,7 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from tlfea.collision.broadphase import BroadphaseSetup, find_pairs, setup_broadphase
+from tlfea.collision.broadphase import (
+    BroadphaseSetup,
+    compact_pairs,
+    find_pairs,
+    setup_broadphase,
+)
 from tlfea.collision.forces import patch_forces
 from tlfea.collision.narrowphase import ContactPatches, compute_patches
 
@@ -44,6 +49,7 @@ class HydroelasticCollision:
         mesh_ids: np.ndarray,
         pressures: np.ndarray,
         window: int = 32,
+        max_pairs: int = 4096,
         margin: float = 0.0,
         enable_self_collision: bool = False,
     ):
@@ -59,7 +65,8 @@ class HydroelasticCollision:
 
         @jax.jit
         def _step(x, v, params: HydroelasticParams):
-            pairs, valid, overflow = find_pairs(bp, x, self_col)
+            pairs, valid, win_overflow = find_pairs(bp, x, self_col)
+            pairs, valid, cap_overflow = compact_pairs(pairs, valid, max_pairs)
             patches = compute_patches(
                 x, pressures_dev, bp.corners, pairs, valid, bp.mesh_ids, self_col
             )
@@ -67,7 +74,7 @@ class HydroelasticCollision:
                 patches, x, v, bp.corners,
                 damping=params.damping, friction=params.friction,
             )
-            return f, patches, overflow
+            return f, patches, win_overflow | cap_overflow
 
         self._step = _step
 
