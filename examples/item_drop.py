@@ -1,0 +1,147 @@
+"""Deformable item dropped onto a deformable floor, switchable collision
+backend.
+
+Workload parity: reference `lib_bin/collision_system/test_item_drop.cc`
+(dragon/armadillo/openbox onto a deformable floor, `--collision=hydro|deme`
+switch behind the CollisionSystem interface; everything device-resident).
+The DEM backend requires the external DEM-Engine dependency and is exposed
+through the same interface (`tlfea.collision.dem_bridge`); without the
+dependency it reports unavailability.
+
+Run: python examples/item_drop.py --item=dragon --steps=50
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+from tlfea.collision.hydroelastic import HydroelasticCollision, HydroelasticParams
+from tlfea.constraints import FixedCoefs
+from tlfea.elements import feat10
+from tlfea.materials import SVK, lame_from_E_nu
+from tlfea.simulation import Simulation, gravity_force
+from tlfea.solvers import System, StepState
+from tlfea.utils import io_vtk
+from tlfea.utils.cli import Cli
+from tlfea.utils.mesh_manager import MeshManager
+from tlfea.utils.pressure import distance_pressure_field
+from tlfea.utils.tetmesh import box_t10_mesh
+
+from _common import REF_DATA, make_solver, out_dir
+
+
+def main():
+    args = (
+        Cli("item drop (reference: lib_bin/collision_system/test_item_drop.cc)")
+        .add("item", "sphere", "sphere|dragon|armadillo|openbox|box")
+        .add("collision", "hydro", "hydro|deme")
+        .add("solver", "newton", "newton|nesterov|adamw|vbd")
+        .add("steps", 50, "time steps")
+        .add("dt", 2e-4, "time step [s]")
+        .add("E", 1e6, "Young's modulus")
+        .add("nu", 0.3, "Poisson ratio")
+        .add("rho0", 1000.0, "density")
+        .add("damping", 1e2, "Kelvin-Voigt damping")
+        .add("friction", 0.4, "Coulomb friction")
+        .add("modulus", 1e6, "hydroelastic modulus")
+        .add("rho_alm", 1e8, "ALM penalty")
+        .add("drop_height", 0.05, "initial gap above the floor")
+        .add("window", 256, "broadphase window")
+        .add("max_pairs", 8192, "narrowphase pair capacity")
+        .add("vtk_every", 20, "export interval (0 = off)")
+        .parse()
+    )
+
+    mm = MeshManager()
+    item_paths = {
+        "dragon": ("meshes/T10/item_drop/dragon.node", "meshes/T10/item_drop/dragon.ele"),
+        "armadillo": ("meshes/T10/item_drop/armadillo.node", "meshes/T10/item_drop/armadillo.ele"),
+        "openbox": ("meshes/T10/item_drop/openbox.node", "meshes/T10/item_drop/openbox.ele"),
+        "sphere": ("meshes/T10/sphere.1.node", "meshes/T10/sphere.1.ele"),
+    }
+    if args["item"] in item_paths:
+        node = os.path.join(REF_DATA, item_paths[args["item"]][0])
+        ele = os.path.join(REF_DATA, item_paths[args["item"]][1])
+    else:
+        node = None
+    if node and os.path.exists(node):
+        item = mm.load_mesh(node, ele, args["item"])
+    else:
+        nodes_i, conn_i = box_t10_mesh(0.3, 0.3, 0.3, 2, 2, 2)
+        item = mm.add_mesh(nodes_i, conn_i, "box_item")
+
+    # Deformable floor sized to the item footprint.
+    inodes = mm.mesh_nodes(item)
+    ext = inodes.max(axis=0) - inodes.min(axis=0)
+    fl_x, fl_y = 2.5 * ext[0], 2.5 * ext[1]
+    fl_h = 0.2 * ext[2]
+    floor_nodes, floor_conn = box_t10_mesh(fl_x, fl_y, fl_h, 6, 6, 1)
+    floor = mm.add_mesh(floor_nodes, floor_conn, "floor")
+    mm.translate_mesh(
+        floor,
+        (
+            inodes[:, 0].min() - 0.75 * ext[0],
+            inodes[:, 1].min() - 0.75 * ext[1],
+            inodes[:, 2].min() - fl_h - args["drop_height"],
+        ),
+    )
+    for mid in (item, floor):
+        inst = mm.instances[mid]
+        local_conn = mm.elements[inst.elem_offset : inst.elem_offset + inst.n_elems] - inst.node_offset
+        mm.set_scalar_field(
+            mid, distance_pressure_field(mm.mesh_nodes(mid), local_conn, args["modulus"])
+        )
+
+    nodes, conn = mm.nodes, mm.elements
+    print(f"scene: {conn.shape[0]} elems, {nodes.shape[0]} nodes")
+
+    elems = feat10.build(nodes, conn, rho=args["rho0"])
+    lam, mu = lame_from_E_nu(args["E"], args["nu"])
+    mat = SVK(lam=lam, mu=mu, eta_damp=args["damping"], lam_damp=args["damping"])
+    # Clamp the floor underside.
+    zmin = nodes[:, 2].min()
+    fixed = np.nonzero(nodes[:, 2] < zmin + 1e-9)[0]
+    system = System(
+        elems=elems, material=mat, constraints=FixedCoefs.from_indices(fixed, nodes)
+    )
+    state = StepState.rest(system, nodes)
+
+    if args["collision"] == "hydro":
+        collision = HydroelasticCollision(
+            conn, mm.elem_mesh_ids(), mm.scalar_field(),
+            window=args["window"], max_pairs=args["max_pairs"],
+        )
+    elif args["collision"] == "deme":
+        from tlfea.collision.dem_bridge import DemMeshCollision
+
+        collision = DemMeshCollision(mm)  # raises with guidance if DEME absent
+    else:
+        raise SystemExit("--collision must be hydro or deme")
+
+    col_params = HydroelasticParams(friction=args["friction"])
+    step = make_solver(args["solver"], system, args["dt"], args["rho_alm"])
+    sim = Simulation(
+        system, state, step, base_f_ext=gravity_force(system),
+        collision=collision, collision_params=col_params,
+    )
+
+    d = out_dir("item_drop")
+    t0 = time.time()
+    for k in range(args["steps"]):
+        diag = sim.step()
+        if k % 10 == 0:
+            nc = int(np.asarray(sim.last_patches.n_contacts)) if sim.last_patches is not None else 0
+            print(f"step {k:4d} contacts={nc:5d}")
+        if args["vtk_every"] and k % args["vtk_every"] == 0:
+            io_vtk.write_vtu_t10(os.path.join(d, f"scene_{k:05d}.vtu"), np.asarray(sim.state.x), conn)
+    wall = time.time() - t0
+    print(f"{args['steps']} steps in {wall:.1f}s ({args['steps']/wall:.2f} steps/s); out in {d}/")
+
+
+if __name__ == "__main__":
+    main()
