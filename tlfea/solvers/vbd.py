@@ -31,12 +31,7 @@ from flax import struct
 from tlfea.elements.assembly import deformation_gradient, total_piola, mass_diag
 from tlfea.ops.linalg import solve3x3
 from tlfea.solvers.common import StepState, System, grad_L, flat_norm
-from tlfea.utils.coloring import (
-    build_adjacency,
-    build_incidence,
-    greedy_coloring,
-    pad_colors,
-)
+from tlfea.utils.coloring import colors_and_incidence, pad_colors
 
 __all__ = ["VBDParams", "VBDStructures", "prepare", "make_step"]
 
@@ -77,11 +72,8 @@ def prepare(system: System, group_size: int = 4, dtype=None) -> VBDStructures:
     `SyncedVBD.cu:764-1118`)."""
     conn = np.asarray(system.elems.conn)
     n_coef = system.elems.n_coef
-    adj = build_adjacency(conn, n_coef)
-    colors = greedy_coloring(adj)
+    colors, inc, inc_mask = colors_and_incidence(conn, n_coef)
     nodes, mask = pad_colors(colors, group_size)
-
-    inc, inc_mask = build_incidence(conn, n_coef)
 
     fixed_map = np.full(n_coef, -1, dtype=np.int32)
     cons = system.constraints

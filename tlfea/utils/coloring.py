@@ -17,7 +17,31 @@ __all__ = [
     "validate_coloring",
     "build_incidence",
     "pad_colors",
+    "colors_and_incidence",
 ]
+
+
+def colors_and_incidence(conn: np.ndarray, n_coef: int):
+    """Coloring + padded incidence, using the native C++ core when available
+    (`tlfea.native`; ~100x faster at 100k-element scale) with this module's
+    NumPy implementation as fallback. Both produce identical first-fit
+    colorings.
+
+    Returns (colors (n_coef,), inc (n_coef, max_inc, 2), inc_mask).
+    """
+    from tlfea import native
+
+    colors = native.greedy_color(conn, n_coef)
+    if colors is None:
+        colors = greedy_coloring(build_adjacency(conn, n_coef))
+        inc, mask = build_incidence(conn, n_coef)
+        return colors, inc, mask
+    res = native.build_incidence(conn, n_coef)
+    if res is None:
+        inc, mask = build_incidence(conn, n_coef)
+    else:
+        inc, mask = res
+    return colors, inc, mask
 
 
 def build_adjacency(conn: np.ndarray, n_coef: int) -> list[set[int]]:
