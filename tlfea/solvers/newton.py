@@ -44,8 +44,13 @@ class NewtonParams:
     outer_tol: jnp.ndarray = 1e-8
     max_outer: int = struct.field(pytree_node=False, default=4)
     max_inner: int = struct.field(pytree_node=False, default=20)
-    cg_rtol: jnp.ndarray = 1e-4  # Eisenstat-Walker-style forcing floor
+    cg_rtol: jnp.ndarray = 1e-4  # CG tolerance floor
     cg_max_iter: int = struct.field(pytree_node=False, default=200)
+    # Eisenstat-Walker adaptive forcing (choice 2): per-Newton-iteration CG
+    # tolerance eta_k = clamp(0.9 (||g_k||/||g_{k-1}||)^2, cg_rtol,
+    # ew_eta_max). Early Newton iterations then use loose CG solves (SURVEY
+    # hard part #1 mitigation); set ew_eta_max = 0 to disable.
+    ew_eta_max: jnp.ndarray = 0.5
 
 
 def _pcg(hvp, precond, b, rtol, max_iter):
@@ -102,7 +107,7 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         return jnp.logical_and(k < params.max_inner, not_conv)
 
     def body(carry):
-        v, k, _, norm_g0, cg_total = carry
+        v, k, norm_g, norm_g0, norm_g_prev, cg_total = carry
         g = g_of(v)
 
         def hvp(p):
@@ -113,15 +118,22 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         def precond(r):
             return solve3x3(blocks, r, eps=1e-30)
 
-        dv, cg_iters, _ = _pcg(hvp, precond, -g, params.cg_rtol, params.cg_max_iter)
+        # Eisenstat-Walker forcing (choice 2): eta_k = 0.9 (g_k/g_{k-1})^2,
+        # clipped to [cg_rtol, ew_eta_max] — loose CG early, tight as Newton
+        # converges.
+        ratio = norm_g / jnp.maximum(norm_g_prev, 1e-300)
+        eta = 0.9 * ratio * ratio
+        eta = jnp.clip(eta, params.cg_rtol, jnp.maximum(params.ew_eta_max, params.cg_rtol))
+        dv, cg_iters, _ = _pcg(hvp, precond, -g, eta, params.cg_max_iter)
         v = v + dv
         norm_g_new = flat_norm(g_of(v))
-        norm_g0 = jnp.where(norm_g0 < 0, flat_norm(g), norm_g0)
-        return (v, k + 1, norm_g_new, norm_g0, cg_total + cg_iters)
+        return (v, k + 1, norm_g_new, norm_g0, norm_g, cg_total + cg_iters)
 
     norm_g_init = flat_norm(g_of(v0))
-    v, iters, norm_g, _, cg_total = jax.lax.while_loop(
-        cond, body, (v0, 0, norm_g_init, norm_g_init, 0)
+    v, iters, norm_g, _, _, cg_total = jax.lax.while_loop(
+        lambda c: cond((c[0], c[1], c[2], c[3], c[5])),
+        body,
+        (v0, 0, norm_g_init, norm_g_init, norm_g_init, 0),
     )
     return v, iters, norm_g, cg_total
 
