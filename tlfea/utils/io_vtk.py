@@ -22,6 +22,9 @@ __all__ = [
     "write_vtp_normals",
     "write_vtu_ancf_hex",
     "write_csv_history",
+    "write_patches_csv",
+    "write_patches_json",
+    "write_obj_surface",
 ]
 
 _VTK_QUADRATIC_TETRA = 24
@@ -216,6 +219,67 @@ def write_vtu_ancf_hex(path, coefs, conn_nodes, L, W, H, family: str, point_data
         s = b @ Binv_T.T  # (8, S)
         pts[8 * e : 8 * e + 8] = s @ coefs[conn_coef[e]]
     _write_unstructured(path, pts, cells, _VTK_HEXAHEDRON, point_data=point_data)
+
+
+def write_patches_csv(path, patches):
+    """Contact patches as CSV (reference `ExportContactPatchesToCSV`,
+    `visualization_utils.h:377`)."""
+    use = np.asarray(patches.valid & patches.valid_orientation)
+    idx = np.nonzero(use)[0]
+    with open(path, "w") as f:
+        f.write("patch,tetA,tetB,area,p_eq,g_A,g_B,nx,ny,nz,cx,cy,cz,n_verts\n")
+        for p in idx:
+            n = np.asarray(patches.normal)[p]
+            c = np.asarray(patches.centroid)[p]
+            f.write(
+                f"{p},{int(np.asarray(patches.tetA)[p])},{int(np.asarray(patches.tetB)[p])},"
+                f"{float(np.asarray(patches.area)[p]):.17g},{float(np.asarray(patches.p_eq)[p]):.17g},"
+                f"{float(np.asarray(patches.g_A)[p]):.17g},{float(np.asarray(patches.g_B)[p]):.17g},"
+                f"{n[0]:.17g},{n[1]:.17g},{n[2]:.17g},{c[0]:.17g},{c[1]:.17g},{c[2]:.17g},"
+                f"{int(np.asarray(patches.n_verts)[p])}\n"
+            )
+
+
+def write_patches_json(path, patches):
+    """Contact patches as JSON, including polygon vertices (reference
+    `ExportContactPatchesToJSON`, `visualization_utils.h:420` — the format
+    `compare_narrowphase.py` diffs against)."""
+    import json
+
+    use = np.asarray(patches.valid & patches.valid_orientation)
+    out = []
+    for p in np.nonzero(use)[0]:
+        c = int(np.asarray(patches.n_verts)[p])
+        out.append(
+            {
+                "tetA": int(np.asarray(patches.tetA)[p]),
+                "tetB": int(np.asarray(patches.tetB)[p]),
+                "area": float(np.asarray(patches.area)[p]),
+                "p_equilibrium": float(np.asarray(patches.p_eq)[p]),
+                "g_A": float(np.asarray(patches.g_A)[p]),
+                "g_B": float(np.asarray(patches.g_B)[p]),
+                "normal": np.asarray(patches.normal)[p].tolist(),
+                "centroid": np.asarray(patches.centroid)[p].tolist(),
+                "vertices": np.asarray(patches.verts)[p, :c].tolist(),
+            }
+        )
+    with open(path, "w") as f:
+        json.dump({"patches": out}, f, indent=1)
+
+
+def write_obj_surface(path, nodes, tris):
+    """Surface triangle soup as OBJ (reference `surface_trimesh` OBJ writer,
+    `lib_utils/surface_trimesh.h:14-23`)."""
+    nodes = np.asarray(nodes)
+    tris = np.asarray(tris)
+    used = np.unique(tris.reshape(-1))
+    remap = {int(g): i + 1 for i, g in enumerate(used)}
+    with open(path, "w") as f:
+        for g in used:
+            p = nodes[g]
+            f.write(f"v {p[0]:.17g} {p[1]:.17g} {p[2]:.17g}\n")
+        for t in tris:
+            f.write(f"f {remap[int(t[0])]} {remap[int(t[1])]} {remap[int(t[2])]}\n")
 
 
 def write_csv_history(path, header: list[str], rows):
