@@ -22,6 +22,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: whole-step XLA compiles take minutes over the
+    # axon tunnel; cache them across bench invocations.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tlfea_jit_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from tlfea.constraints import FixedCoefs
     from tlfea.elements import feat10
     from tlfea.elements.assembly import lumped_mass
@@ -62,6 +67,7 @@ def main():
         max_inner=4,
         cg_rtol=dtype(0.0),
         cg_max_iter=25,
+        ew_eta_max=dtype(0.0),  # disable adaptive forcing: fixed 25-CG budget
     )
     step = newton.make_step(system, params)
 

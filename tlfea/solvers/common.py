@@ -85,10 +85,17 @@ def grad_L(
     system: System,
 ) -> jnp.ndarray:
     """ALM gradient g(v), shape (n_coef, 3). Pure in v -> exact Hv via jax.jvp."""
+    import os
+
     elems = system.elems
     x = x_prev + dt * v
-    g = mass_matvec(v - v_prev, elems) / dt
-    g = g + internal_force(x, v, elems, system.material) - f_ext
+    if os.environ.get("TLFEA_FUSED_GRAD", "1") != "0":
+        from tlfea.elements.assembly import alm_residual_contributions
+
+        g = alm_residual_contributions(x, v, (v - v_prev) / dt, elems, system.material) - f_ext
+    else:
+        g = mass_matvec(v - v_prev, elems) / dt
+        g = g + internal_force(x, v, elems, system.material) - f_ext
     cons = system.constraints
     if cons is not None:
         c = eval_constraints(cons, x)

@@ -108,10 +108,17 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
 
     def body(carry):
         v, k, norm_g, norm_g0, norm_g_prev, cg_total = carry
-        g = g_of(v)
+        import os
 
-        def hvp(p):
-            return jax.jvp(g_of, (v,), (p,))[1]
+        if os.environ.get("TLFEA_CG_LINEARIZE", "0") != "0":
+            # Linearize once per Newton iteration: CG evaluates the
+            # tangent-only function (no primal recompute per Hv).
+            g, hvp = jax.linearize(g_of, v)
+        else:
+            g = g_of(v)
+
+            def hvp(p):
+                return jax.jvp(g_of, (v,), (p,))[1]
 
         blocks = precond_blocks(v, x_prev, dt, rho, system)
 
