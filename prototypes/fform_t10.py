@@ -43,7 +43,7 @@ def shape_grad(xi):
 
 
 class FFormT10:
-    def __init__(self, nodes, conn, rho, lam, mu, dt, rho_alm, fixed=None):
+    def __init__(self, nodes, conn, rho, lam, mu, dt, rho_alm, fixed=None, mass_matrix=None):
         self.nodes = np.asarray(nodes, float)
         self.conn = np.asarray(conn, int)
         self.rho, self.lam, self.mu = rho, lam, mu
@@ -51,7 +51,13 @@ class FFormT10:
         self.fixed = np.asarray(fixed, int) if fixed is not None else np.array([], int)
         self.n = self.nodes.shape[0]
         self._precompute()
-        self._mass()
+        if mass_matrix is not None:
+            # Externally supplied consistent mass (e.g. the SPD degree-exact
+            # rule; the built-in keast5 mass is indefinite — a reference
+            # quirk preserved for parity only).
+            self.M = np.asarray(mass_matrix, float)
+        else:
+            self._mass()
 
     def _precompute(self):
         E = self.conn.shape[0]

@@ -1,0 +1,83 @@
+"""Pallas fused element kernel vs the XLA einsum path (interpreter mode on
+CPU; the same kernel compiles natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tlfea.constraints import FixedCoefs
+from tlfea.elements import feat10
+from tlfea.elements.assembly import alm_residual_contributions
+from tlfea.materials import SVK, MooneyRivlin, lame_from_E_nu
+from tlfea.ops import pallas_fem
+from tlfea.solvers import System, StepState, newton
+from tlfea.utils.tetmesh import box_t10_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dtype = np.float32
+    nodes, conn = box_t10_mesh(1.0, 0.3, 0.3, 4, 2, 2)
+    elems = feat10.build(nodes, conn, rho=1000.0, dtype=dtype)
+    lam, mu = lame_from_E_nu(1e6, 0.3)
+    mat = SVK(
+        lam=jnp.asarray(dtype(lam)), mu=jnp.asarray(dtype(mu)),
+        eta_damp=jnp.asarray(dtype(1e2)), lam_damp=jnp.asarray(dtype(1e2)),
+    )
+    return nodes.astype(dtype), conn, elems, mat
+
+
+def test_kernel_matches_xla_primal_and_tangent(setup):
+    nodes, conn, elems, mat = setup
+    contrib, tpd = pallas_fem.make_element_contrib(elems, mat, interpret=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(nodes + 0.01 * rng.standard_normal(nodes.shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(nodes.shape).astype(np.float32))
+    dv = jnp.asarray(rng.standard_normal(nodes.shape).astype(np.float32))
+    tans = tuple(
+        jnp.asarray(rng.standard_normal(nodes.shape).astype(np.float32)) for _ in range(3)
+    )
+
+    f_ref = lambda x, v, dv: alm_residual_contributions(x, v, dv, elems, mat)
+    f_pal = lambda x, v, dv: pallas_fem.residual_contributions(x, v, dv, elems, contrib, tpd)
+    r_ref, d_ref = jax.jvp(f_ref, (x, v, dv), tans)
+    r_pal, d_pal = jax.jvp(f_pal, (x, v, dv), tans)
+    rs = float(jnp.abs(r_ref).max())
+    ds = float(jnp.abs(d_ref).max())
+    assert float(jnp.abs(r_pal - r_ref).max()) / rs < 1e-5
+    assert float(jnp.abs(d_pal - d_ref).max()) / ds < 1e-5
+
+
+@pytest.mark.slow
+def test_newton_step_with_pallas_system(setup):
+    nodes, conn, elems, mat = setup
+    fixed = np.nonzero(nodes[:, 0] < 1e-9)[0]
+    system = System(
+        elems=elems, material=mat,
+        constraints=FixedCoefs.from_indices(fixed, nodes),
+    )
+    psystem = pallas_fem.with_pallas(system, interpret=True)
+    f_ext = jnp.zeros_like(jnp.asarray(nodes)).at[:, 2].add(np.float32(-50.0))
+    params = newton.NewtonParams(
+        dt=np.float32(1e-3), rho=np.float32(1e6), inner_atol=np.float32(1e-4),
+        max_outer=1, max_inner=3, cg_rtol=np.float32(1e-3), cg_max_iter=20,
+    )
+    s0 = StepState.rest(system, nodes)
+    ref, dref = newton.step(system, s0, params, f_ext)
+    got, dgot = newton.step(psystem, s0, params, f_ext)
+    scale = float(jnp.abs(ref.x - jnp.asarray(nodes)).max()) + 1e-30
+    dev = float(jnp.abs(got.x - ref.x).max()) / scale
+    assert dev < 1e-3, f"pallas-backed Newton step deviates {dev:.2e}"
+
+
+def test_with_pallas_rejects_non_svk(setup):
+    nodes, conn, elems, mat = setup
+    system = System(
+        elems=elems,
+        material=MooneyRivlin(mu10=1e5, mu01=1e4, kappa=1e6),
+        constraints=None,
+    )
+    with pytest.raises(ValueError):
+        pallas_fem.with_pallas(system)

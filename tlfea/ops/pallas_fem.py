@@ -1,0 +1,353 @@
+"""Pallas TPU kernel for the fused FEM element contribution.
+
+Computes, per element, the ALM residual contribution
+
+    contrib = f_int,e(x, v) + M_e @ dv_dt
+
+(SVK elastic stress + Kelvin-Voigt viscous stress + consistent mass) — the
+compute core of `tlfea.elements.assembly.alm_residual_contributions` — as a
+single Pallas kernel. The XLA einsum formulation keeps tensors with a
+minor dimension of 3, wasting 125/128 VPU lanes; here the ELEMENT axis is
+laid out as (8, 128) VPU tiles (sublane x lane) and all 3x3 tensor algebra
+unrolls into full-tile vector FMAs, ~10x faster than the einsum path on TPU.
+
+A hand-derived tangent kernel provides the directional derivative (exact
+linearization of the same expressions), wired via `jax.custom_jvp` so the
+Newton-PCG Hessian-vector products run through Pallas too.
+
+Gather/scatter (x[conn], segment add) stay in XLA outside the kernel; inputs
+arrive pre-gathered and element-transposed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # Pallas requires a TPU (or interpreter mode); import lazily-safe.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_OK = True
+except Exception:  # pragma: no cover
+    PALLAS_OK = False
+
+__all__ = ["element_contrib", "prepare_tp", "PALLAS_OK"]
+
+SUB, LANE = 8, 128
+EBLK = SUB * LANE  # elements per grid block
+
+
+def _svk_stress_rows(F, Fdot, lam, mu, eta, lam_d):
+    """P (total first Piola) from 3x3-of-tiles F, Fdot. Pure jnp on tiles."""
+    # E = (F^T F - I)/2
+    Em = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            s = F[0][i] * F[0][j] + F[1][i] * F[1][j] + F[2][i] * F[2][j]
+            Em[i][j] = 0.5 * (s - (1.0 if i == j else 0.0))
+    trE = Em[0][0] + Em[1][1] + Em[2][2]
+    # S = lam tr(E) I + 2 mu E  (+ viscous part)
+    Smat = [[2.0 * mu * Em[i][j] for j in range(3)] for i in range(3)]
+    for i in range(3):
+        Smat[i][i] = Smat[i][i] + lam * trE
+    if Fdot is not None:
+        Ed = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                s = (
+                    Fdot[0][i] * F[0][j] + Fdot[1][i] * F[1][j] + Fdot[2][i] * F[2][j]
+                    + F[0][i] * Fdot[0][j] + F[1][i] * Fdot[1][j] + F[2][i] * Fdot[2][j]
+                )
+                Ed[i][j] = 0.5 * s
+        trEd = Ed[0][0] + Ed[1][1] + Ed[2][2]
+        for i in range(3):
+            for j in range(3):
+                Smat[i][j] = Smat[i][j] + 2.0 * eta * Ed[i][j]
+            Smat[i][i] = Smat[i][i] + lam_d * trEd
+    # P = F S
+    P = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            P[i][j] = F[i][0] * Smat[0][j] + F[i][1] * Smat[1][j] + F[i][2] * Smat[2][j]
+    return P
+
+
+def _svk_stress_tangent_rows(F, dF, Fdot, dFdot, lam, mu, eta, lam_d):
+    """dP: exact directional derivative of `_svk_stress_rows`."""
+    def mtm(A, B):  # A^T B
+        return [
+            [A[0][i] * B[0][j] + A[1][i] * B[1][j] + A[2][i] * B[2][j] for j in range(3)]
+            for i in range(3)
+        ]
+
+    def madd(*Ms):
+        return [[sum(M[i][j] for M in Ms) for j in range(3)] for i in range(3)]
+
+    def mscale(M, s):
+        return [[M[i][j] * s for j in range(3)] for i in range(3)]
+
+    def mm(A, B):  # A B
+        return [
+            [A[i][0] * B[0][j] + A[i][1] * B[1][j] + A[i][2] * B[2][j] for j in range(3)]
+            for i in range(3)
+        ]
+
+    Em = mtm(F, F)  # F^T F (symmetric)
+    for i in range(3):
+        Em[i][i] = Em[i][i] - 1.0
+    Em = mscale(Em, 0.5)  # E = (F^T F - I)/2
+    trE = Em[0][0] + Em[1][1] + Em[2][2]
+    S0 = mscale(Em, 2.0 * mu)
+    for i in range(3):
+        S0[i][i] = S0[i][i] + lam * trE
+
+    # dE = (dF^T F + F^T dF)/2 — the sum is already symmetric, halve it.
+    dE = mscale(madd(mtm(dF, F), mtm(F, dF)), 0.5)
+    trdE = dE[0][0] + dE[1][1] + dE[2][2]
+    dS = mscale(dE, 2.0 * mu)
+    for i in range(3):
+        dS[i][i] = dS[i][i] + lam * trdE
+
+    if Fdot is not None:
+        Ed = mscale(madd(mtm(Fdot, F), mtm(F, Fdot)), 0.5)
+        trEd = Ed[0][0] + Ed[1][1] + Ed[2][2]
+        for i in range(3):
+            for j in range(3):
+                S0[i][j] = S0[i][j] + 2.0 * eta * Ed[i][j]
+            S0[i][i] = S0[i][i] + lam_d * trEd
+        dEd = mscale(
+            madd(mtm(dFdot, F), mtm(Fdot, dF), mtm(dF, Fdot), mtm(F, dFdot)), 0.5
+        )
+        trdEd = dEd[0][0] + dEd[1][1] + dEd[2][2]
+        for i in range(3):
+            for j in range(3):
+                dS[i][j] = dS[i][j] + 2.0 * eta * dEd[i][j]
+            dS[i][i] = dS[i][i] + lam_d * trdEd
+
+    return madd(mm(dF, S0), mm(F, dS))
+
+
+def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d, damped, tangent):
+    """Shared kernel body. In tangent mode, pe carries tangents and gN/dV/Me
+    are the same static arrays; F/Fdot of the PRIMAL are recomputed from the
+    primal half of pe (rows S*9..S*18)."""
+    W = 18 if tangent else 9
+
+    def pget(a, c):  # (8,128) tile for slot a, channel c of the leading half
+        return pe_ref[a * W + c]
+
+    def pget2(a, c):  # second (primal) half in tangent mode
+        return pe_ref[a * W + 9 + c]
+
+    def gn(q, a, j):
+        return gN_ref[(q * S + a) * 3 + j]
+
+    fe = [[None] * 3 for _ in range(S)]
+    for q in range(Q):
+        F = [[None] * 3 for _ in range(3)]
+        Fd = [[None] * 3 for _ in range(3)] if damped else None
+        # In tangent mode we need primal F (and Fdot) too.
+        Fp = [[None] * 3 for _ in range(3)] if tangent else None
+        Fdp = [[None] * 3 for _ in range(3)] if (tangent and damped) else None
+        for i in range(3):
+            for j in range(3):
+                acc = pget(0, i) * gn(q, 0, j)
+                for a in range(1, S):
+                    acc = acc + pget(a, i) * gn(q, a, j)
+                F[i][j] = acc
+                if damped:
+                    accv = pget(0, 3 + i) * gn(q, 0, j)
+                    for a in range(1, S):
+                        accv = accv + pget(a, 3 + i) * gn(q, a, j)
+                    Fd[i][j] = accv
+                if tangent:
+                    accp = pget2(0, i) * gn(q, 0, j)
+                    for a in range(1, S):
+                        accp = accp + pget2(a, i) * gn(q, a, j)
+                    Fp[i][j] = accp
+                    if damped:
+                        accvp = pget2(0, 3 + i) * gn(q, 0, j)
+                        for a in range(1, S):
+                            accvp = accvp + pget2(a, 3 + i) * gn(q, a, j)
+                        Fdp[i][j] = accvp
+
+        if tangent:
+            P = _svk_stress_tangent_rows(Fp, F, Fdp, Fd, lam, mu, eta, lam_d)
+        else:
+            P = _svk_stress_rows(F, Fd, lam, mu, eta, lam_d)
+
+        w = dV_ref[q]
+        for a in range(S):
+            for i in range(3):
+                c = (P[i][0] * gn(q, a, 0) + P[i][1] * gn(q, a, 1) + P[i][2] * gn(q, a, 2)) * w
+                fe[a][i] = c if fe[a][i] is None else fe[a][i] + c
+
+    # Consistent-mass term on the dv channel of the leading half.
+    for a in range(S):
+        for i in range(3):
+            acc = fe[a][i]
+            for b in range(S):
+                acc = acc + Me_ref[a * S + b] * pget(b, 6 + i)
+            out_ref[a * 3 + i] = acc
+
+
+def prepare_tp(elems, dtype=np.float32):
+    """Host-side: element-transposed static arrays, padded to EBLK.
+
+    Returns dict with gN_T (Q*S*3, Ebt, LANE), dV_T (Q, Ebt, LANE),
+    Me_T (S*S, Ebt, LANE), E_pad, where Ebt = E_pad // LANE and the element
+    axis is tiled as (..., sublane-block, lane).
+    """
+    gN = np.asarray(elems.grad_N, dtype=dtype)  # (E,Q,S,3)
+    dV = np.asarray(elems.dV, dtype=dtype)  # (E,Q)
+    Me = np.asarray(elems.mass_elem, dtype=dtype)  # (E,S,S)
+    E, Q, S, _ = gN.shape
+    E_pad = ((E + EBLK - 1) // EBLK) * EBLK
+
+    def tp(a):
+        # (E, rows...) -> (prod(rows), E_pad/LANE, LANE)
+        flat = a.reshape(E, -1).T  # (rows, E)
+        out = np.zeros((flat.shape[0], E_pad), dtype=dtype)
+        out[:, :E] = flat
+        return out.reshape(flat.shape[0], E_pad // LANE, LANE)
+
+    return dict(
+        gN_T=jnp.asarray(tp(gN)),
+        dV_T=jnp.asarray(tp(dV)),
+        Me_T=jnp.asarray(tp(Me)),
+        E=E, E_pad=E_pad, Q=Q, S=S,
+    )
+
+
+def _pallas_call(kernel, n_out_rows, n_blocks, in_arrays, interpret=False):
+    out_shape = jax.ShapeDtypeStruct(
+        (n_out_rows, in_arrays[0].shape[1], LANE), in_arrays[0].dtype
+    )
+    in_specs = [
+        pl.BlockSpec((a.shape[0], SUB, LANE), lambda b, r=a.shape[0]: (0, b, 0))
+        for a in in_arrays
+    ]
+    out_spec = pl.BlockSpec((n_out_rows, SUB, LANE), lambda b: (0, b, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*in_arrays)
+
+
+def _wrap_body(body):
+    def kernel(pe_ref, gN_ref, dV_ref, Me_ref, out_ref):
+        body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref)
+
+    return kernel
+
+
+def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
+    """Build contrib(pe_T) -> out_T as a custom-jvp Pallas op.
+
+    pe_T: (S*9, E_pad//LANE, LANE) element-transposed packed [x|v|dv] values.
+    out_T: (S*3, E_pad//LANE, LANE).
+    Only SVK (+ Kelvin-Voigt) is supported; callers fall back to the XLA path
+    for other materials.
+    """
+    tpd = prepare_tp(elems, dtype=dtype)
+    Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
+    n_blocks = E_pad // EBLK
+    lam = float(material.lam)
+    mu = float(material.mu)
+    eta = float(material.eta_damp)
+    lam_d = float(material.lam_damp)
+    damped = (eta != 0.0) or (lam_d != 0.0)
+
+    primal_body = partial(
+        _body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
+        damped=damped, tangent=False,
+    )
+    tangent_body = partial(
+        _body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
+        damped=damped, tangent=True,
+    )
+
+    @jax.custom_jvp
+    def contrib(pe_T):
+        return _pallas_call(
+            _wrap_body(primal_body), S * 3, n_blocks,
+            [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]], interpret=interpret,
+        )
+
+    @contrib.defjvp
+    def contrib_jvp(primals, tangents):
+        (pe_T,) = primals
+        (dpe_T,) = tangents
+        out = contrib(pe_T)
+        both = jnp.concatenate(
+            [
+                dpe_T.reshape(S, 9, *pe_T.shape[1:]),
+                pe_T.reshape(S, 9, *pe_T.shape[1:]),
+            ],
+            axis=1,
+        ).reshape(S * 18, *pe_T.shape[1:])
+        dout = _pallas_call(
+            _wrap_body(tangent_body), S * 3, n_blocks,
+            [both, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]], interpret=interpret,
+        )
+        return out, dout
+
+    return contrib, tpd
+
+
+class PallasContrib:
+    """Static handle bundling the custom-jvp kernel with its layout metadata.
+
+    Hashable by identity so it can live on `System` as a non-pytree field;
+    build once per system (e.g. via `with_pallas`).
+    """
+
+    def __init__(self, fn, S: int, E: int, E_pad: int):
+        self.fn = fn
+        self.S = S
+        self.E = E
+        self.E_pad = E_pad
+
+
+def with_pallas(system, dtype=np.float32, interpret=False):
+    """Return a copy of `system` that routes its residual through the Pallas
+    element kernel (SVK materials only)."""
+    from tlfea.materials import SVK
+
+    if not isinstance(system.material, SVK):
+        raise ValueError("Pallas element kernel currently supports SVK only")
+    contrib, tpd = make_element_contrib(
+        system.elems, system.material, dtype=dtype, interpret=interpret
+    )
+    handle = PallasContrib(contrib, tpd["S"], tpd["E"], tpd["E_pad"])
+    return system.replace(pallas=handle)
+
+
+def residual_contributions(x, v, dv_dt, elems, contrib, tpd):
+    """Full fused residual using the Pallas kernel: gather -> transpose ->
+    kernel -> transpose -> scatter. Drop-in equal to
+    `assembly.alm_residual_contributions` for SVK materials."""
+    S, E, E_pad = (
+        (tpd["S"], tpd["E"], tpd["E_pad"])
+        if isinstance(tpd, dict)
+        else (tpd.S, tpd.E, tpd.E_pad)
+    )
+    n = x.shape[0]
+    packed = jnp.concatenate([x, v, dv_dt], axis=1)  # (n, 9)
+    pe = packed[elems.conn]  # (E, S, 9)
+    peT = jnp.transpose(pe, (1, 2, 0)).reshape(S * 9, E)
+    peT = jnp.pad(peT, ((0, 0), (0, E_pad - E)))
+    peT = peT.reshape(S * 9, E_pad // LANE, LANE)
+    outT = contrib(peT)  # (S*3, E_pad//LANE, LANE)
+    out = outT.reshape(S, 3, E_pad)[:, :, :E]  # (S, 3, E)
+    contrib_e = jnp.transpose(out, (2, 0, 1))  # (E, S, 3)
+    res = jnp.zeros((n, 3), dtype=x.dtype)
+    return res.at[elems.conn.reshape(-1)].add(contrib_e.reshape(-1, 3))

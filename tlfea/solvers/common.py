@@ -43,6 +43,9 @@ class System:
     elems: ElementBatch
     material: Any
     constraints: Any = None
+    # Optional Pallas element-kernel handle (static; see
+    # tlfea.ops.pallas_fem.with_pallas). None -> XLA einsum path.
+    pallas: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def n_coef(self) -> int:
@@ -89,7 +92,13 @@ def grad_L(
 
     elems = system.elems
     x = x_prev + dt * v
-    if os.environ.get("TLFEA_FUSED_GRAD", "1") != "0":
+    if system.pallas is not None:
+        from tlfea.ops.pallas_fem import residual_contributions
+
+        g = residual_contributions(
+            x, v, (v - v_prev) / dt, elems, system.pallas.fn, system.pallas
+        ) - f_ext
+    elif os.environ.get("TLFEA_FUSED_GRAD", "1") != "0":
         from tlfea.elements.assembly import alm_residual_contributions
 
         g = alm_residual_contributions(x, v, (v - v_prev) / dt, elems, system.material) - f_ext
@@ -142,6 +151,19 @@ def precond_blocks(
             blocks = blocks + (dt * dt * rho) * d[:, None, None] * eye
         else:
             blocks = blocks + (dt * dt * rho) * jnp.einsum("ad,de->ade", d, eye)
+
+    # PCG requires an SPD preconditioner; the raw blocks can be indefinite
+    # (large-deformation SVK tangents, or the reference-parity keast5 mass
+    # whose negative quadrature weight makes even mass diagonals negative).
+    # Symmetrize and shift by the Gershgorin lower-bound deficit.
+    blocks = 0.5 * (blocks + jnp.swapaxes(blocks, -1, -2))
+    offdiag = jnp.sum(jnp.abs(blocks), axis=-1) - jnp.abs(
+        jnp.diagonal(blocks, axis1=-2, axis2=-1)
+    )
+    lmin_lb = jnp.min(jnp.diagonal(blocks, axis1=-2, axis2=-1) - offdiag, axis=-1)
+    scale = jnp.maximum(jnp.abs(blocks).max(axis=(-2, -1)), 1e-30)
+    shift = jnp.maximum(-lmin_lb, 0.0) + 1e-7 * scale
+    blocks = blocks + shift[:, None, None] * eye
     return blocks
 
 

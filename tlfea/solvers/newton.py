@@ -70,20 +70,30 @@ def _pcg(hvp, precond, b, rtol, max_iter):
     bnorm = flat_norm(b)
     tol2 = (rtol * bnorm) ** 2
 
+    # Numerical floor: even with tol = 0 (fixed-budget benchmarking), stop
+    # once the residual reaches f32/f64 noise — running CG past convergence
+    # corrupts the iterate (denominators underflow).
+    eps_floor = jnp.asarray(1e-30 if b.dtype == jnp.float64 else 1e-18, b.dtype)
+    tol2 = jnp.maximum(tol2, eps_floor * jnp.maximum(bnorm, 1.0) ** 2)
+
     def cond(carry):
-        _, r, _, _, _, k = carry
-        return jnp.logical_and(k < max_iter, dot(r, r) > tol2)
+        _, r, _, _, rz, k = carry
+        ok = jnp.logical_and(dot(r, r) > tol2, rz > 0)
+        return jnp.logical_and(k < max_iter, ok)
 
     def body(carry):
         x, r, p, z, rz, k = carry
         hp = hvp(p)
         denom = dot(p, hp)
-        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        # Non-positive curvature (or breakdown): take no step and terminate
+        # via the rz guard next round.
+        good = denom > 0
+        alpha = jnp.where(good, rz / jnp.where(good, denom, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * hp
         z = precond(r)
-        rz_new = dot(r, z)
-        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        rz_new = jnp.where(good, dot(r, z), 0.0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta * p
         return (x, r, p, z, rz_new, k + 1)
 
@@ -97,6 +107,16 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
 
     def g_of(v):
         return grad_L(v, x_prev, v_prev, lam, f_ext, dt, rho, system)
+
+    # Frozen block-Jacobi preconditioner: assembled once per inner solve at
+    # the incoming iterate (tangent blocks are the most expensive single
+    # computation in the step; freshness barely affects CG quality). The
+    # reference's cuDSS analog is REFACTORIZATION reuse
+    # (`SyncedNewton.cu:1101-1108`).
+    blocks0 = precond_blocks(v0, x_prev, dt, rho, system)
+
+    def precond(r):
+        return solve3x3(blocks0, r, eps=1e-30)
 
     def cond(carry):
         v, k, norm_g, norm_g0, _ = carry
@@ -119,11 +139,6 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
 
             def hvp(p):
                 return jax.jvp(g_of, (v,), (p,))[1]
-
-        blocks = precond_blocks(v, x_prev, dt, rho, system)
-
-        def precond(r):
-            return solve3x3(blocks, r, eps=1e-30)
 
         # Eisenstat-Walker forcing (choice 2): eta_k = 0.9 (g_k/g_{k-1})^2,
         # clipped to [cg_rtol, ew_eta_max] — loose CG early, tight as Newton
