@@ -173,6 +173,12 @@ def alm_residual_contributions(
     ~2x faster per evaluation than composing `mass_matvec` +
     `internal_force`.
     """
+    contrib = _element_contrib_values(x, v, dv_dt, elems, material)
+    return coef_scatter_add(contrib, elems.conn, elems.n_coef)  # single scatter
+
+
+def _element_contrib_values(x, v, dv_dt, elems: ElementBatch, material) -> jnp.ndarray:
+    """Per-element-slot contribution values (E, S, 3), pre-scatter."""
     packed = jnp.concatenate([x, v, dv_dt], axis=1)  # (n_coef, 9)
     pe = packed[elems.conn]  # (E, S, 9) — the single gather
     xe = pe[..., 0:3]
@@ -188,7 +194,7 @@ def alm_residual_contributions(
 
     fe = jnp.einsum("eqij,eqaj,eq->eai", P, elems.grad_N, elems.dV)
     me = jnp.einsum("eab,ebi->eai", elems.mass_elem, dve)
-    return coef_scatter_add(fe + me, elems.conn, elems.n_coef)  # single scatter
+    return fe + me
 
 
 def mass_matvec(v: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:
@@ -217,3 +223,33 @@ def lumped_mass(elems: ElementBatch) -> jnp.ndarray:
     rows = jnp.sum(elems.mass_elem, axis=2)  # (E, S)
     out = jnp.zeros((elems.n_coef,), dtype=rows.dtype)
     return out.at[elems.conn.reshape(-1)].add(rows.reshape(-1))
+
+
+def assemble_mass_csr(elems: ElementBatch):
+    """Host-side assembled coefficient-level mass in CSR form.
+
+    Returns (offsets (n+1,), columns (nnz,), values (nnz,)) as NumPy arrays —
+    the analogue of the reference's `RetrieveMassCSRToCPU`
+    (`FEAT10Data.cuh` retrieval methods) for inspection/export. The solver
+    itself never assembles this (it is matrix-free).
+    """
+    conn = np.asarray(elems.conn)
+    me = np.asarray(elems.mass_elem)
+    E, S = conn.shape
+    rows = np.repeat(conn, S, axis=1).reshape(-1)
+    cols = np.tile(conn, (1, S)).reshape(-1)
+    vals = me.reshape(-1)
+    # Sum duplicates via lexicographic sort.
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    new = np.ones(len(rows), dtype=bool)
+    new[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    group = np.cumsum(new) - 1
+    u_rows = rows[new]
+    u_cols = cols[new]
+    u_vals = np.zeros(int(group[-1]) + 1 if len(group) else 0)
+    np.add.at(u_vals, group, vals)
+    offsets = np.zeros(elems.n_coef + 1, dtype=np.int64)
+    np.add.at(offsets, u_rows + 1, 1)
+    offsets = np.cumsum(offsets)
+    return offsets, u_cols, u_vals

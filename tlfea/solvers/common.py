@@ -90,22 +90,44 @@ def grad_L(
     """ALM gradient g(v), shape (n_coef, 3). Pure in v -> exact Hv via jax.jvp."""
     import os
 
+    from tlfea.constraints import FixedCoefs
+
     elems = system.elems
     x = x_prev + dt * v
+    cons = system.constraints
     if system.pallas is not None:
         from tlfea.ops.pallas_fem import residual_contributions
 
         g = residual_contributions(
             x, v, (v - v_prev) / dt, elems, system.pallas.fn, system.pallas
         ) - f_ext
-    elif os.environ.get("TLFEA_FUSED_GRAD", "1") != "0":
-        from tlfea.elements.assembly import alm_residual_contributions
+        if cons is not None:
+            c = eval_constraints(cons, x)
+            g = g + dt * cons.apply_jt(lam + rho * c, elems.n_coef)
+        return g
 
-        g = alm_residual_contributions(x, v, (v - v_prev) / dt, elems, system.material) - f_ext
-    else:
-        g = mass_matvec(v - v_prev, elems) / dt
-        g = g + internal_force(x, v, elems, system.material) - f_ext
-    cons = system.constraints
+    if os.environ.get("TLFEA_FUSED_GRAD", "1") != "0":
+        from tlfea.elements.assembly import _element_contrib_values
+        from tlfea.ops.segment import coef_scatter_add
+
+        contrib = _element_contrib_values(x, v, (v - v_prev) / dt, elems, system.material)
+        idx = elems.conn.reshape(-1)
+        vals = contrib.reshape(-1, 3)
+        if isinstance(cons, FixedCoefs):
+            # Fold the constraint force h (lam + rho c) into the same
+            # scatter (one scatter-add per gradient, total).
+            c = x[cons.idx] - cons.target
+            idx = jnp.concatenate([idx, cons.idx])
+            vals = jnp.concatenate([vals, dt * (lam + rho * c)], axis=0)
+        out = jnp.zeros((elems.n_coef, 3), dtype=v.dtype)
+        g = out.at[idx].add(vals) - f_ext
+        if cons is not None and not isinstance(cons, FixedCoefs):
+            c = eval_constraints(cons, x)
+            g = g + dt * cons.apply_jt(lam + rho * c, elems.n_coef)
+        return g
+
+    g = mass_matvec(v - v_prev, elems) / dt
+    g = g + internal_force(x, v, elems, system.material) - f_ext
     if cons is not None:
         c = eval_constraints(cons, x)
         g = g + dt * cons.apply_jt(lam + rho * c, elems.n_coef)
