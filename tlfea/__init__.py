@@ -30,6 +30,15 @@ if not _os.environ.get("TLFEA_NO_X64"):
 
     _jax.config.update("jax_enable_x64", True)
 
+# TPU einsums/dot_generals default to bf16 multiply passes, which introduces
+# ~1-3% errors in deformation-gradient/stress contractions — unacceptable for
+# FEA. Force true float32 (no effect on CPU/f64). The Pallas element kernel
+# (tlfea.ops.pallas_fem) recovers the speed without the precision loss.
+if not _os.environ.get("TLFEA_KEEP_DEFAULT_MATMUL"):
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "float32")
+
 __version__ = "0.1.0"
 
 from tlfea import utils, materials, elements, solvers, collision, parallel, ops  # noqa: E402,F401
