@@ -55,14 +55,15 @@ def main():
     f_ext = (
         jnp.zeros((nodes.shape[0], 3), dtype).at[:, 2].add(lumped_mass(elems) * dtype(-9.81))
     )
-    # Converged implicit steps: Newton to 1e-2 relative gradient reduction
-    # (typical production tolerance for graphics/robotics stepping), with
-    # Eisenstat-Walker CG forcing. Iteration caps bound the worst case.
+    # Converged implicit steps: Newton to an absolute force residual of
+    # 0.1% of the applied load (physically meaningful, warm-start friendly),
+    # with Eisenstat-Walker CG forcing. Iteration caps bound the worst case.
+    f_scale = float(jnp.sqrt(jnp.sum(f_ext * f_ext)))
     params = newton.NewtonParams(
         dt=dtype(1e-3),
         rho=dtype(1e7),
-        inner_atol=dtype(0.0),
-        inner_rtol=dtype(1e-2),
+        inner_atol=dtype(1e-3 * f_scale),
+        inner_rtol=dtype(0.0),
         outer_tol=dtype(0.0),
         max_outer=1,
         max_inner=10,

@@ -72,6 +72,25 @@ def test_newton_step_with_pallas_system(setup):
     assert dev < 1e-3, f"pallas-backed Newton step deviates {dev:.2e}"
 
 
+def test_pallas_precond_blocks_match(setup):
+    nodes, conn, elems, mat = setup
+    from tlfea.solvers.common import precond_blocks
+
+    fixed = np.nonzero(nodes[:, 0] < 1e-9)[0]
+    system = System(
+        elems=elems, material=mat, constraints=FixedCoefs.from_indices(fixed, nodes)
+    )
+    psystem = pallas_fem.with_pallas(system, interpret=True)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(nodes)
+    v = jnp.asarray(0.1 * rng.standard_normal(nodes.shape).astype(np.float32))
+    dt, rho = np.float32(1e-3), np.float32(1e6)
+    b0 = precond_blocks(v, x0, dt, rho, system)
+    b1 = precond_blocks(v, x0, dt, rho, psystem)
+    rel = float(jnp.abs(b1 - b0).max()) / float(jnp.abs(b0).max())
+    assert rel < 1e-5
+
+
 def test_with_pallas_rejects_non_svk(setup):
     nodes, conn, elems, mat = setup
     system = System(

@@ -191,5 +191,6 @@ def build_ancf_batch(
         grad_N=jnp.asarray(grad_N.astype(dtype)),
         dV=jnp.asarray(dV.astype(dtype)),
         mass_elem=jnp.asarray(Me.astype(dtype)),
+        xe_ref=jnp.asarray(Xe.astype(dtype)),
         n_coef=int(coefs.shape[0]),
     )

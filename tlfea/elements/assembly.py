@@ -60,6 +60,13 @@ class ElementBatch:
     grad_N: jnp.ndarray  # (E, Q, S, 3)
     dV: jnp.ndarray  # (E, Q)
     mass_elem: jnp.ndarray  # (E, S, S)
+    # Per-element reference coefficient positions (E, S, 3). F is computed
+    # displacement-based, F = I + sum_a (x_a - X_a) x grad_N_a: in float32,
+    # the direct sum_a x_a x grad_N_a carries O(|x|) cancellation noise that
+    # swamps small strains for stiff materials (SURVEY hard part #4); the
+    # displacement form is exact in the strain scale. (Uses
+    # sum_a X_a x grad_N_a = I, which holds for every isoparametric family.)
+    xe_ref: jnp.ndarray
     n_coef: int = struct.field(pytree_node=False)
 
     @property
@@ -80,6 +87,7 @@ class ElementBatch:
             grad_N=self.grad_N.astype(dtype),
             dV=self.dV.astype(dtype),
             mass_elem=self.mass_elem.astype(dtype),
+            xe_ref=self.xe_ref.astype(dtype),
             n_coef=self.n_coef,
         )
 
@@ -88,10 +96,12 @@ def deformation_gradient(x: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:
     """F at every quadrature point: F_ij = sum_a x_a[i] * dN_a/dX[j].
 
     x: (n_coef, 3) current coefficient positions -> (E, Q, 3, 3).
-    Reference: `compute_p` F accumulation (`FEAT10DataFunc.cuh:85-130`).
+    Reference: `compute_p` F accumulation (`FEAT10DataFunc.cuh:85-130`),
+    rewritten displacement-based for float32 robustness (see ElementBatch).
     """
     xe = gather_coefs(x, elems.conn)  # (E, S, 3)
-    return jnp.einsum("eai,eqaj->eqij", xe, elems.grad_N)
+    Du = jnp.einsum("eai,eqaj->eqij", xe - elems.xe_ref, elems.grad_N)
+    return Du + jnp.eye(3, dtype=Du.dtype)
 
 
 def velocity_gradient(v: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:
@@ -181,10 +191,11 @@ def _element_contrib_values(x, v, dv_dt, elems: ElementBatch, material) -> jnp.n
     """Per-element-slot contribution values (E, S, 3), pre-scatter."""
     packed = jnp.concatenate([x, v, dv_dt], axis=1)  # (n_coef, 9)
     pe = packed[elems.conn]  # (E, S, 9) — the single gather
-    xe = pe[..., 0:3]
+    ue = pe[..., 0:3] - elems.xe_ref  # displacements (f32-robust F)
     dve = pe[..., 6:9]
 
-    F = jnp.einsum("eai,eqaj->eqij", xe, elems.grad_N)
+    Du = jnp.einsum("eai,eqaj->eqij", ue, elems.grad_N)
+    F = Du + jnp.eye(3, dtype=Du.dtype)
     P = material.first_piola(F)
     damped = _is_nonzero(material.eta_damp) or _is_nonzero(material.lam_damp)
     if damped:

@@ -133,5 +133,6 @@ def build(
         grad_N=jnp.asarray(grad_N.astype(dtype)),
         dV=jnp.asarray(dV.astype(dtype)),
         mass_elem=jnp.asarray(me.astype(dtype)),
+        xe_ref=jnp.asarray(nodes[conn].astype(dtype)),
         n_coef=int(nodes.shape[0]),
     )

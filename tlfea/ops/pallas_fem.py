@@ -131,10 +131,13 @@ def _svk_stress_tangent_rows(F, dF, Fdot, dFdot, lam, mu, eta, lam_d):
     return madd(mm(dF, S0), mm(F, dS))
 
 
-def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d, damped, tangent):
+def _body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, *, Q, S, lam, mu, eta, lam_d, damped, tangent):
     """Shared kernel body. In tangent mode, pe carries tangents and gN/dV/Me
     are the same static arrays; F/Fdot of the PRIMAL are recomputed from the
-    primal half of pe (rows S*9..S*18)."""
+    primal half of pe (rows S*9..S*18). F is displacement-based:
+    F = I + sum_a (x_a - X_a) x grad_N_a (float32 robustness; see
+    ElementBatch.xe_ref). Tangents of x contribute dF directly (no identity,
+    no reference shift)."""
     W = 18 if tangent else 9
 
     def pget(a, c):  # (8,128) tile for slot a, channel c of the leading half
@@ -142,6 +145,9 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d,
 
     def pget2(a, c):  # second (primal) half in tangent mode
         return pe_ref[a * W + 9 + c]
+
+    def xref(a, c):
+        return xref_ref[a * 3 + c]
 
     def gn(q, a, j):
         return gN_ref[(q * S + a) * 3 + j]
@@ -155,9 +161,17 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d,
         Fdp = [[None] * 3 for _ in range(3)] if (tangent and damped) else None
         for i in range(3):
             for j in range(3):
-                acc = pget(0, i) * gn(q, 0, j)
-                for a in range(1, S):
-                    acc = acc + pget(a, i) * gn(q, a, j)
+                if tangent:
+                    # Leading half holds tangents: dF = sum_a dx_a gn.
+                    acc = pget(0, i) * gn(q, 0, j)
+                    for a in range(1, S):
+                        acc = acc + pget(a, i) * gn(q, a, j)
+                else:
+                    acc = (pget(0, i) - xref(0, i)) * gn(q, 0, j)
+                    for a in range(1, S):
+                        acc = acc + (pget(a, i) - xref(a, i)) * gn(q, a, j)
+                    if i == j:
+                        acc = acc + 1.0
                 F[i][j] = acc
                 if damped:
                     accv = pget(0, 3 + i) * gn(q, 0, j)
@@ -165,9 +179,11 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d,
                         accv = accv + pget(a, 3 + i) * gn(q, a, j)
                     Fd[i][j] = accv
                 if tangent:
-                    accp = pget2(0, i) * gn(q, 0, j)
+                    accp = (pget2(0, i) - xref(0, i)) * gn(q, 0, j)
                     for a in range(1, S):
-                        accp = accp + pget2(a, i) * gn(q, a, j)
+                        accp = accp + (pget2(a, i) - xref(a, i)) * gn(q, a, j)
+                    if i == j:
+                        accp = accp + 1.0
                     Fp[i][j] = accp
                     if damped:
                         accvp = pget2(0, 3 + i) * gn(q, 0, j)
@@ -219,6 +235,7 @@ def prepare_tp(elems, dtype=np.float32):
         gN_T=jnp.asarray(tp(gN)),
         dV_T=jnp.asarray(tp(dV)),
         Me_T=jnp.asarray(tp(Me)),
+        xref_T=jnp.asarray(tp(np.asarray(elems.xe_ref, dtype=dtype))),
         E=E, E_pad=E_pad, Q=Q, S=S,
     )
 
@@ -243,10 +260,104 @@ def _pallas_call(kernel, n_out_rows, n_blocks, in_arrays, interpret=False):
 
 
 def _wrap_body(body):
-    def kernel(pe_ref, gN_ref, dV_ref, Me_ref, out_ref):
-        body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref)
+    def kernel(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref):
+        body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref)
 
     return kernel
+
+
+def _precond_body(pe_ref, gN_ref, dV_ref, xref_ref, out_ref, *, Q, S, lam, mu):
+    """Per-(element, node) SVK diagonal tangent 3x3 blocks:
+
+        K_aa[d,e] = sum_q svk_tangent_block(F_q, gradN_qa) * dV_q
+
+    (the closed form of `SVK.tangent_diag_block`, reference `SVK.cuh:35-55`;
+    the caller applies the uniform dt weight outside the kernel). pe carries
+    x channels only (S*3 rows); out is (S*9) rows.
+    """
+
+    def pget(a, c):
+        return pe_ref[a * 3 + c] - xref_ref[a * 3 + c]  # displacement
+
+    def gn(q, a, j):
+        return gN_ref[(q * S + a) * 3 + j]
+
+    acc = [[[None] * 3 for _ in range(3)] for _ in range(S)]
+    for q in range(Q):
+        F = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                s = pget(0, i) * gn(q, 0, j)
+                for a in range(1, S):
+                    s = s + pget(a, i) * gn(q, a, j)
+                if i == j:
+                    s = s + 1.0
+                F[i][j] = s
+        trFtF = sum(F[i][j] * F[i][j] for i in range(3) for j in range(3))
+        trE = 0.5 * (trFtF - 3.0)
+        FFT = [
+            [sum(F[i][k] * F[j][k] for k in range(3)) for j in range(3)]
+            for i in range(3)
+        ]
+        w = dV_ref[q]
+        for a in range(S):
+            h = [gn(q, a, 0), gn(q, a, 1), gn(q, a, 2)]
+            Fh = [sum(F[i][j] * h[j] for j in range(3)) for i in range(3)]
+            hij = h[0] * h[0] + h[1] * h[1] + h[2] * h[2]
+            FhFh = Fh[0] * Fh[0] + Fh[1] * Fh[1] + Fh[2] * Fh[2]
+            diag = lam * trE * hij + mu * FhFh - mu * hij
+            for d in range(3):
+                for e in range(3):
+                    K = (lam + mu) * Fh[d] * Fh[e] + mu * hij * FFT[d][e]
+                    if d == e:
+                        K = K + diag
+                    K = K * w
+                    prev = acc[a][d][e]
+                    acc[a][d][e] = K if prev is None else prev + K
+    for a in range(S):
+        for d in range(3):
+            for e in range(3):
+                out_ref[a * 9 + d * 3 + e] = acc[a][d][e]
+
+
+def make_precond_blocks(elems, material, dtype=np.float32, interpret=False):
+    """Pallas kernel computing per-(element,node) SVK tangent diag blocks.
+
+    Returns (fn, tpd): fn(xT (S*3, B, L)) -> (S*9, B, L); the caller scatters
+    and adds mass/constraint terms (see `solvers.common.precond_blocks`).
+    """
+    tpd = prepare_tp(elems, dtype=dtype)
+    Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
+    n_blocks = E_pad // EBLK
+    body = partial(
+        _precond_body, Q=Q, S=S, lam=float(material.lam), mu=float(material.mu)
+    )
+
+    def kernel(pe_ref, gN_ref, dV_ref, xref_ref, out_ref):
+        body(pe_ref, gN_ref, dV_ref, xref_ref, out_ref)
+
+    def fn(xT):
+        return _pallas_call(
+            kernel, S * 9, n_blocks,
+            [xT, tpd["gN_T"], tpd["dV_T"], tpd["xref_T"]],
+            interpret=interpret,
+        )
+
+    return fn, tpd
+
+
+def tangent_blocks(x, elems, fn, tpd, dt):
+    """Scattered per-coefficient 3x3 tangent blocks via the Pallas kernel."""
+    S, E, E_pad = tpd["S"], tpd["E"], tpd["E_pad"]
+    n = x.shape[0]
+    xe = x[elems.conn]  # (E, S, 3)
+    xT = jnp.transpose(xe, (1, 2, 0)).reshape(S * 3, E)
+    xT = jnp.pad(xT, ((0, 0), (0, E_pad - E))).reshape(S * 3, E_pad // LANE, LANE)
+    outT = fn(xT) * dt  # (S*9, B, L); uniform dt weight applied here
+    out = outT.reshape(S, 3, 3, E_pad)[..., :E]
+    blocks_e = jnp.transpose(out, (3, 0, 1, 2))  # (E, S, 3, 3)
+    res = jnp.zeros((n, 3, 3), dtype=x.dtype)
+    return res.at[elems.conn.reshape(-1)].add(blocks_e.reshape(-1, 3, 3))
 
 
 def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
@@ -279,7 +390,8 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
     def contrib(pe_T):
         return _pallas_call(
             _wrap_body(primal_body), S * 3, n_blocks,
-            [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]], interpret=interpret,
+            [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"], tpd["xref_T"]],
+            interpret=interpret,
         )
 
     @contrib.defjvp
@@ -296,7 +408,8 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
         ).reshape(S * 18, *pe_T.shape[1:])
         dout = _pallas_call(
             _wrap_body(tangent_body), S * 3, n_blocks,
-            [both, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]], interpret=interpret,
+            [both, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"], tpd["xref_T"]],
+            interpret=interpret,
         )
         return out, dout
 
@@ -310,11 +423,15 @@ class PallasContrib:
     build once per system (e.g. via `with_pallas`).
     """
 
-    def __init__(self, fn, S: int, E: int, E_pad: int):
+    def __init__(self, fn, S: int, E: int, E_pad: int, precond_fn=None):
         self.fn = fn
         self.S = S
         self.E = E
         self.E_pad = E_pad
+        self.precond_fn = precond_fn
+
+    def __getitem__(self, key):  # dict-compat for tpd-style access
+        return getattr(self, key if key != "E_pad" else "E_pad")
 
 
 def with_pallas(system, dtype=np.float32, interpret=False):
@@ -327,7 +444,10 @@ def with_pallas(system, dtype=np.float32, interpret=False):
     contrib, tpd = make_element_contrib(
         system.elems, system.material, dtype=dtype, interpret=interpret
     )
-    handle = PallasContrib(contrib, tpd["S"], tpd["E"], tpd["E_pad"])
+    pfn, _ = make_precond_blocks(
+        system.elems, system.material, dtype=dtype, interpret=interpret
+    )
+    handle = PallasContrib(contrib, tpd["S"], tpd["E"], tpd["E_pad"], precond_fn=pfn)
     return system.replace(pallas=handle)
 
 

@@ -54,6 +54,7 @@ def _pad_elems(elems: ElementBatch, multiple: int) -> ElementBatch:
         grad_N=pad(elems.grad_N),
         dV=pad(elems.dV),
         mass_elem=pad(elems.mass_elem),
+        xe_ref=pad(elems.xe_ref),
         n_coef=elems.n_coef,
     )
 
@@ -74,6 +75,7 @@ def shard_system(system, mesh: Mesh):
         grad_N=jax.device_put(elems.grad_N, esh),
         dV=jax.device_put(elems.dV, esh),
         mass_elem=jax.device_put(elems.mass_elem, esh),
+        xe_ref=jax.device_put(elems.xe_ref, esh),
         n_coef=elems.n_coef,
     )
 

@@ -152,15 +152,20 @@ def precond_blocks(
     """
     elems = system.elems
     x = x_prev + dt * v
-    from tlfea.elements.assembly import deformation_gradient
+    if system.pallas is not None and getattr(system.pallas, "precond_fn", None) is not None:
+        from tlfea.ops.pallas_fem import tangent_blocks
 
-    F = deformation_gradient(x, elems)  # (E, Q, 3, 3)
-    # (E, Q, S, 3, 3) diag tangent blocks, weighted by dt * dV.
-    Kb = system.material.tangent_diag_block(F[:, :, None, :, :], elems.grad_N)
-    Kb = Kb * (dt * elems.dV)[:, :, None, None, None]
-    Kb = Kb.sum(axis=1)  # (E, S, 3, 3)
-    blocks = jnp.zeros((elems.n_coef, 3, 3), dtype=v.dtype)
-    blocks = blocks.at[elems.conn.reshape(-1)].add(Kb.reshape(-1, 3, 3))
+        blocks = tangent_blocks(x, elems, system.pallas.precond_fn, system.pallas, dt)
+    else:
+        from tlfea.elements.assembly import deformation_gradient
+
+        F = deformation_gradient(x, elems)  # (E, Q, 3, 3)
+        # (E, Q, S, 3, 3) diag tangent blocks, weighted by dt * dV.
+        Kb = system.material.tangent_diag_block(F[:, :, None, :, :], elems.grad_N)
+        Kb = Kb * (dt * elems.dV)[:, :, None, None, None]
+        Kb = Kb.sum(axis=1)  # (E, S, 3, 3)
+        blocks = jnp.zeros((elems.n_coef, 3, 3), dtype=v.dtype)
+        blocks = blocks.at[elems.conn.reshape(-1)].add(Kb.reshape(-1, 3, 3))
 
     eye = jnp.eye(3, dtype=v.dtype)
     md = mass_diag(elems) / dt  # (n_coef,)

@@ -152,12 +152,24 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         return (v, k + 1, norm_g_new, norm_g0, norm_g, cg_total + cg_iters)
 
     norm_g_init = flat_norm(g_of(v0))
-    v, iters, norm_g, _, _, cg_total = jax.lax.while_loop(
-        lambda c: cond((c[0], c[1], c[2], c[3], c[5])),
-        body,
-        (v0, 0, norm_g_init, norm_g_init, norm_g_init, 0),
+    # Per-iteration ||g|| telemetry (the reference prints these every inner
+    # iteration, `SyncedNewton.cu:1065`; here they are recorded on-device and
+    # returned in the diagnostics without any host sync).
+    hist0 = jnp.full((params.max_inner + 1,), jnp.nan, dtype=v0.dtype).at[0].set(norm_g_init)
+
+    def body_h(carry):
+        inner, hist = carry
+        new_inner = body(inner)
+        k_new = new_inner[1]
+        hist = hist.at[k_new].set(new_inner[2])
+        return (new_inner, hist)
+
+    (v, iters, norm_g, _, _, cg_total), hist = jax.lax.while_loop(
+        lambda c: cond((c[0][0], c[0][1], c[0][2], c[0][3], c[0][5])),
+        body_h,
+        ((v0, 0, norm_g_init, norm_g_init, norm_g_init, 0), hist0),
     )
-    return v, iters, norm_g, cg_total
+    return v, iters, norm_g, cg_total, hist
 
 
 def _step(system: System, state: StepState, params: NewtonParams, f_ext):
@@ -166,8 +178,8 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext):
     cons = system.constraints
 
     def outer_body(carry):
-        v, v_prev, lam, k, _, newton_tot, cg_tot = carry
-        v, n_it, norm_g, cg_it = _newton_inner(v, x_prev, v_prev, lam, f_ext, params, system)
+        v, v_prev, lam, k, _, newton_tot, cg_tot, _h = carry
+        v, n_it, norm_g, cg_it, hist = _newton_inner(v, x_prev, v_prev, lam, f_ext, params, system)
         v_prev = v
         if cons is not None:
             x = x_prev + params.dt * v
@@ -176,15 +188,19 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext):
             norm_c = flat_norm(c)
         else:
             norm_c = jnp.zeros((), dtype=v.dtype)
-        return (v, v_prev, lam, k + 1, norm_c, newton_tot + n_it, cg_tot + cg_it)
+        return (v, v_prev, lam, k + 1, norm_c, newton_tot + n_it, cg_tot + cg_it, hist)
 
     def outer_cond(carry):
-        _, _, _, k, norm_c, _, _ = carry
+        _, _, _, k, norm_c, _, _, _ = carry
         unconverged = jnp.logical_or(k == 0, norm_c >= params.outer_tol)
         return jnp.logical_and(k < params.max_outer, unconverged)
 
-    init = (state.v, state.v, state.lam, 0, jnp.asarray(jnp.inf, dtype=state.v.dtype), 0, 0)
-    v, _, lam, outers, norm_c, newton_tot, cg_tot = jax.lax.while_loop(
+    hist0 = jnp.full((params.max_inner + 1,), jnp.nan, dtype=state.v.dtype)
+    init = (
+        state.v, state.v, state.lam, 0,
+        jnp.asarray(jnp.inf, dtype=state.v.dtype), 0, 0, hist0,
+    )
+    v, _, lam, outers, norm_c, newton_tot, cg_tot, hist = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
     x = x_prev + params.dt * v
@@ -194,6 +210,7 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext):
         "newton_iters": newton_tot,
         "cg_iters": cg_tot,
         "norm_c": norm_c,
+        "norm_g_history": hist,  # last outer iteration's per-Newton ||g||
     }
     return new_state, diag
 
