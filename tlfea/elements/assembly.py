@@ -126,13 +126,18 @@ def viscous_piola(F: jnp.ndarray, Fdot: jnp.ndarray, eta: jnp.ndarray, lam_d: jn
 
 def total_piola(x: jnp.ndarray, v: jnp.ndarray | None, elems: ElementBatch, material) -> jnp.ndarray:
     """Elastic + viscous first Piola stress at every QP -> (E, Q, 3, 3)."""
-    F = deformation_gradient(x, elems)
-    P = material.first_piola(F)
+    xe = gather_coefs(x, elems.conn)
+    Du = jnp.einsum("eai,eqaj->eqij", xe - elems.xe_ref, elems.grad_N)
+    if hasattr(material, "first_piola_du"):
+        P = material.first_piola_du(Du)  # strain-safe
+    else:
+        P = material.first_piola(Du + jnp.eye(3, dtype=Du.dtype))
     if v is not None:
         # Trace-time zero test keeps undamped materials free of the extra work.
         damped = _is_nonzero(material.eta_damp) or _is_nonzero(material.lam_damp)
         if damped:
             Fdot = velocity_gradient(v, elems)
+            F = Du + jnp.eye(3, dtype=Du.dtype)
             P = P + viscous_piola(F, Fdot, material.eta_damp, material.lam_damp)
     return P
 
@@ -195,12 +200,15 @@ def _element_contrib_values(x, v, dv_dt, elems: ElementBatch, material) -> jnp.n
     dve = pe[..., 6:9]
 
     Du = jnp.einsum("eai,eqaj->eqij", ue, elems.grad_N)
-    F = Du + jnp.eye(3, dtype=Du.dtype)
-    P = material.first_piola(F)
+    if hasattr(material, "first_piola_du"):
+        P = material.first_piola_du(Du)  # strain-safe path
+    else:
+        P = material.first_piola(Du + jnp.eye(3, dtype=Du.dtype))
     damped = _is_nonzero(material.eta_damp) or _is_nonzero(material.lam_damp)
     if damped:
         ve = pe[..., 3:6]
         Fdot = jnp.einsum("eai,eqaj->eqij", ve, elems.grad_N)
+        F = Du + jnp.eye(3, dtype=Du.dtype)
         P = P + viscous_piola(F, Fdot, material.eta_damp, material.lam_damp)
 
     fe = jnp.einsum("eqij,eqaj,eq->eai", P, elems.grad_N, elems.dV)

@@ -46,6 +46,22 @@ class SVK:
         lam_factor = self.lam * (0.5 * trFtF - 1.5)
         return lam_factor[..., None, None] * F + self.mu * (FFtF - F)
 
+    def first_piola_du(self, Du: jnp.ndarray) -> jnp.ndarray:
+        """Strain-safe P from the displacement gradient Du = F - I.
+
+        E = (Du + Du^T + Du^T Du)/2 is evaluated without forming F^T F, so
+        small strains suffer no catastrophic cancellation in float32 (the
+        (tr F^T F - 3)/2 form loses ~7 digits at strain ~1e-4). Identical to
+        `first_piola(I + Du)` in exact arithmetic.
+        """
+        DtD = jnp.einsum("...ki,...kj->...ij", Du, Du)
+        E = 0.5 * (Du + jnp.swapaxes(Du, -1, -2) + DtD)
+        trE = E[..., 0, 0] + E[..., 1, 1] + E[..., 2, 2]
+        S = 2.0 * self.mu * E
+        S = S + (self.lam * trE)[..., None, None] * jnp.eye(3, dtype=Du.dtype)
+        # P = (I + Du) S
+        return S + jnp.einsum("...ik,...kj->...ij", Du, S)
+
     def tangent_diag_block(self, F: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         """Closed-form 3x3 block  K[d,e] = A[d,J,e,L] h_J h_L  for one node.
 

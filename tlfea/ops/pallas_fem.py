@@ -41,43 +41,48 @@ SUB, LANE = 8, 128
 EBLK = SUB * LANE  # elements per grid block
 
 
-def _svk_stress_rows(F, Fdot, lam, mu, eta, lam_d):
-    """P (total first Piola) from 3x3-of-tiles F, Fdot. Pure jnp on tiles."""
-    # E = (F^T F - I)/2
+def _svk_stress_rows(Du, Fdot, lam, mu, eta, lam_d):
+    """Strain-safe total first Piola from the DISPLACEMENT gradient Du = F-I
+    (3x3-of-tiles). E = (Du + Du^T + Du^T Du)/2 avoids the (F^T F - I)
+    cancellation that floors float32 accuracy at small strains."""
     Em = [[None] * 3 for _ in range(3)]
     for i in range(3):
         for j in range(3):
-            s = F[0][i] * F[0][j] + F[1][i] * F[1][j] + F[2][i] * F[2][j]
-            Em[i][j] = 0.5 * (s - (1.0 if i == j else 0.0))
+            s = Du[0][i] * Du[0][j] + Du[1][i] * Du[1][j] + Du[2][i] * Du[2][j]
+            Em[i][j] = 0.5 * (Du[i][j] + Du[j][i] + s)
     trE = Em[0][0] + Em[1][1] + Em[2][2]
     # S = lam tr(E) I + 2 mu E  (+ viscous part)
     Smat = [[2.0 * mu * Em[i][j] for j in range(3)] for i in range(3)]
     for i in range(3):
         Smat[i][i] = Smat[i][i] + lam * trE
     if Fdot is not None:
+        # Edot = (Fd^T F + F^T Fd)/2 with F = I + Du.
         Ed = [[None] * 3 for _ in range(3)]
         for i in range(3):
             for j in range(3):
-                s = (
-                    Fdot[0][i] * F[0][j] + Fdot[1][i] * F[1][j] + Fdot[2][i] * F[2][j]
-                    + F[0][i] * Fdot[0][j] + F[1][i] * Fdot[1][j] + F[2][i] * Fdot[2][j]
-                )
+                s = Fdot[j][i] + Fdot[i][j]
+                s = s + sum(Fdot[k][i] * Du[k][j] + Du[k][i] * Fdot[k][j] for k in range(3))
                 Ed[i][j] = 0.5 * s
         trEd = Ed[0][0] + Ed[1][1] + Ed[2][2]
         for i in range(3):
             for j in range(3):
                 Smat[i][j] = Smat[i][j] + 2.0 * eta * Ed[i][j]
             Smat[i][i] = Smat[i][i] + lam_d * trEd
-    # P = F S
+    # P = (I + Du) S = S + Du S
     P = [[None] * 3 for _ in range(3)]
     for i in range(3):
         for j in range(3):
-            P[i][j] = F[i][0] * Smat[0][j] + F[i][1] * Smat[1][j] + F[i][2] * Smat[2][j]
+            P[i][j] = Smat[i][j] + (
+                Du[i][0] * Smat[0][j] + Du[i][1] * Smat[1][j] + Du[i][2] * Smat[2][j]
+            )
     return P
 
 
-def _svk_stress_tangent_rows(F, dF, Fdot, dFdot, lam, mu, eta, lam_d):
-    """dP: exact directional derivative of `_svk_stress_rows`."""
+def _svk_stress_tangent_rows(Du, dF, Fdot, dFdot, lam, mu, eta, lam_d):
+    """dP: exact directional derivative of `_svk_stress_rows` in the
+    displacement-gradient form. Du: primal Du = F - I; dF = dDu tangent;
+    Fdot/dFdot: primal/tangent velocity gradients (or None)."""
+
     def mtm(A, B):  # A^T B
         return [
             [A[0][i] * B[0][j] + A[1][i] * B[1][j] + A[2][i] * B[2][j] for j in range(3)]
@@ -96,39 +101,50 @@ def _svk_stress_tangent_rows(F, dF, Fdot, dFdot, lam, mu, eta, lam_d):
             for i in range(3)
         ]
 
-    Em = mtm(F, F)  # F^T F (symmetric)
-    for i in range(3):
-        Em[i][i] = Em[i][i] - 1.0
-    Em = mscale(Em, 0.5)  # E = (F^T F - I)/2
-    trE = Em[0][0] + Em[1][1] + Em[2][2]
+    def tr(M):
+        return M[0][0] + M[1][1] + M[2][2]
+
+    def mT(M):
+        return [[M[j][i] for j in range(3)] for i in range(3)]
+
+    # Primal E = (Du + Du^T + Du^T Du)/2 and S0 (strain-safe).
+    Em = mscale(madd(Du, mT(Du), mtm(Du, Du)), 0.5)
     S0 = mscale(Em, 2.0 * mu)
+    trE = tr(Em)
     for i in range(3):
         S0[i][i] = S0[i][i] + lam * trE
 
-    # dE = (dF^T F + F^T dF)/2 — the sum is already symmetric, halve it.
-    dE = mscale(madd(mtm(dF, F), mtm(F, dF)), 0.5)
-    trdE = dE[0][0] + dE[1][1] + dE[2][2]
+    # dE = (dF + dF^T + dF^T Du + Du^T dF)/2.
+    dE = mscale(madd(dF, mT(dF), mtm(dF, Du), mtm(Du, dF)), 0.5)
     dS = mscale(dE, 2.0 * mu)
+    trdE = tr(dE)
     for i in range(3):
         dS[i][i] = dS[i][i] + lam * trdE
 
     if Fdot is not None:
-        Ed = mscale(madd(mtm(Fdot, F), mtm(F, Fdot)), 0.5)
-        trEd = Ed[0][0] + Ed[1][1] + Ed[2][2]
+        # Edot = (Fd + Fd^T + Fd^T Du + Du^T Fd)/2 with F = I + Du.
+        Ed = mscale(madd(Fdot, mT(Fdot), mtm(Fdot, Du), mtm(Du, Fdot)), 0.5)
+        trEd = tr(Ed)
         for i in range(3):
             for j in range(3):
                 S0[i][j] = S0[i][j] + 2.0 * eta * Ed[i][j]
             S0[i][i] = S0[i][i] + lam_d * trEd
         dEd = mscale(
-            madd(mtm(dFdot, F), mtm(Fdot, dF), mtm(dF, Fdot), mtm(F, dFdot)), 0.5
+            madd(
+                dFdot, mT(dFdot),
+                mtm(dFdot, Du), mtm(Du, dFdot),
+                mtm(Fdot, dF), mtm(dF, Fdot),
+            ),
+            0.5,
         )
-        trdEd = dEd[0][0] + dEd[1][1] + dEd[2][2]
+        trdEd = tr(dEd)
         for i in range(3):
             for j in range(3):
                 dS[i][j] = dS[i][j] + 2.0 * eta * dEd[i][j]
             dS[i][i] = dS[i][i] + lam_d * trdEd
 
-    return madd(mm(dF, S0), mm(F, dS))
+    # dP = dF S0 + F dS = dF S0 + dS + Du dS.
+    return madd(mm(dF, S0), dS, mm(Du, dS))
 
 
 def _body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, *, Q, S, lam, mu, eta, lam_d, damped, tangent):
@@ -167,11 +183,10 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, *, Q, S, lam, mu, e
                     for a in range(1, S):
                         acc = acc + pget(a, i) * gn(q, a, j)
                 else:
+                    # Displacement gradient Du = sum_a (x_a - X_a) gn.
                     acc = (pget(0, i) - xref(0, i)) * gn(q, 0, j)
                     for a in range(1, S):
                         acc = acc + (pget(a, i) - xref(a, i)) * gn(q, a, j)
-                    if i == j:
-                        acc = acc + 1.0
                 F[i][j] = acc
                 if damped:
                     accv = pget(0, 3 + i) * gn(q, 0, j)
@@ -182,8 +197,6 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, *, Q, S, lam, mu, e
                     accp = (pget2(0, i) - xref(0, i)) * gn(q, 0, j)
                     for a in range(1, S):
                         accp = accp + (pget2(a, i) - xref(a, i)) * gn(q, a, j)
-                    if i == j:
-                        accp = accp + 1.0
                     Fp[i][j] = accp
                     if damped:
                         accvp = pget2(0, 3 + i) * gn(q, 0, j)
