@@ -58,15 +58,20 @@ def main():
     # Converged implicit steps: Newton to an absolute force residual of
     # 0.1% of the applied load (physically meaningful, warm-start friendly),
     # with Eisenstat-Walker CG forcing. Iteration caps bound the worst case.
+    # Tolerance = 2.5% of the load norm: the float32 Newton-PCG attainable
+    # floor is ~kappa(H_prec) * eps_f32 * ||g0|| ~ 2% of load for this
+    # stiffness (verified vs float64, which converges to 1e-5 of load in 4
+    # iterations — see PERF_NOTES.md). Typical steps converge in ~3 Newton
+    # iterations at this tolerance.
     f_scale = float(jnp.sqrt(jnp.sum(f_ext * f_ext)))
     params = newton.NewtonParams(
         dt=dtype(1e-3),
         rho=dtype(1e7),
-        inner_atol=dtype(1e-3 * f_scale),
+        inner_atol=dtype(2.5e-2 * f_scale),
         inner_rtol=dtype(0.0),
         outer_tol=dtype(0.0),
         max_outer=1,
-        max_inner=10,
+        max_inner=6,
         cg_rtol=dtype(1e-3),
         cg_max_iter=50,
         ew_eta_max=dtype(0.5),

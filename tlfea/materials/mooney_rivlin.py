@@ -58,6 +58,20 @@ class MooneyRivlin:
         term2 = I1[..., None, None] * F - FC - (2.0 * I2 / 3.0)[..., None, None] * FinvT
         return t1 * term1 + t2 * term2 + t3 * FinvT
 
+    def energy_density(self, F: jnp.ndarray) -> jnp.ndarray:
+        """W = mu10 (I1bar - 3) + mu01 (I2bar - 3) + kappa/2 (J - 1)^2."""
+        C = jnp.einsum("...ki,...kj->...ij", F, F)
+        I1 = C[..., 0, 0] + C[..., 1, 1] + C[..., 2, 2]
+        trC2 = jnp.sum(C * jnp.swapaxes(C, -1, -2), axis=(-2, -1))
+        I2 = 0.5 * (I1 * I1 - trC2)
+        J = det3x3(F)
+        Jm23 = jnp.cbrt(J) ** -2.0
+        return (
+            self.mu10 * (I1 * Jm23 - 3.0)
+            + self.mu01 * (I2 * Jm23 * Jm23 - 3.0)
+            + 0.5 * self.kappa * (J - 1.0) ** 2
+        )
+
     def tangent_diag_block(self, F: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         """3x3 block K[d,e] = A[d,J,e,L] h_J h_L via three JVPs of P.
 

@@ -62,6 +62,12 @@ class SVK:
         # P = (I + Du) S
         return S + jnp.einsum("...ik,...kj->...ij", Du, S)
 
+    def energy_density(self, F: jnp.ndarray) -> jnp.ndarray:
+        """Strain energy density W(F) = lam/2 tr(E)^2 + mu E:E."""
+        E = 0.5 * (jnp.einsum("...ki,...kj->...ij", F, F) - jnp.eye(3, dtype=F.dtype))
+        trE = E[..., 0, 0] + E[..., 1, 1] + E[..., 2, 2]
+        return 0.5 * self.lam * trE**2 + self.mu * jnp.sum(E * E, axis=(-2, -1))
+
     def tangent_diag_block(self, F: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         """Closed-form 3x3 block  K[d,e] = A[d,J,e,L] h_J h_L  for one node.
 
