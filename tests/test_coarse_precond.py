@@ -1,0 +1,72 @@
+"""Two-level preconditioner: correctness (same solution) + effectiveness
+(fewer CG iterations on a stiff slender beam, the case where block-Jacobi
+stalls — see .claude/skills/verify/SKILL.md rough edges)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tlfea.constraints import FixedCoefs
+from tlfea.elements import feat10
+from tlfea.materials import SVK, lame_from_E_nu
+from tlfea.simulation import gravity_force
+from tlfea.solvers import System, StepState, newton
+from tlfea.solvers.coarse import build_aggregates, coarse_operator
+from tlfea.utils.tetmesh import box_t10_mesh
+
+
+def setup():
+    # Stiff slender cantilever: the hard case for block-Jacobi CG.
+    nodes, conn = box_t10_mesh(1.0, 0.05, 0.05, 12, 1, 1)
+    lam, mu = lame_from_E_nu(2e9, 0.0)
+    mat = SVK(lam=lam, mu=mu, eta_damp=2e4, lam_damp=2e4)
+    fixed = np.nonzero(nodes[:, 0] < 1e-12)[0]
+    system = System(
+        elems=feat10.build(nodes, conn, rho=1000.0),
+        material=mat,
+        constraints=FixedCoefs.from_indices(fixed, nodes),
+    )
+    return nodes, system
+
+
+def test_coarse_operator_spd():
+    nodes, system = setup()
+    coarse = build_aggregates(nodes, target_cluster=24)
+    assert coarse.n_agg >= 4
+    Ac = np.asarray(
+        coarse_operator(
+            jnp.asarray(nodes), system.elems, system.material,
+            system.constraints, coarse, 5e-3, 1e9,
+        )
+    )
+    np.testing.assert_allclose(Ac, Ac.T, rtol=1e-10)
+    w = np.linalg.eigvalsh(Ac)
+    assert w.min() > 0, f"coarse operator must be SPD, min eig {w.min():.3e}"
+
+
+def test_two_level_reduces_cg_and_matches():
+    nodes, system = setup()
+    f_ext = gravity_force(system)
+    params = newton.NewtonParams(
+        dt=5e-3, rho=1e9, inner_atol=1e-7, inner_rtol=1e-8,
+        max_outer=2, max_inner=8, cg_rtol=1e-6, cg_max_iter=400, ew_eta_max=0.0,
+    )
+
+    s0 = StepState.rest(system, nodes)
+    step_bj = newton.make_step(system, params)
+    s1, d1 = step_bj(s0, f_ext)
+    cg_bj = int(d1["cg_iters"])
+
+    coarse = build_aggregates(nodes, target_cluster=24)
+    step_2l = newton.make_step(system, params, coarse=coarse)
+    s2, d2 = step_2l(s0, f_ext)
+    cg_2l = int(d2["cg_iters"])
+
+    # Same converged step.
+    scale = float(jnp.abs(s1.x - jnp.asarray(nodes)).max()) + 1e-30
+    dev = float(jnp.abs(s2.x - s1.x).max()) / scale
+    assert dev < 1e-3, f"two-level step deviates {dev:.2e}"
+    # Substantially fewer CG iterations.
+    assert cg_2l < 0.7 * cg_bj, (
+        f"two-level should cut CG count: block-Jacobi {cg_bj}, two-level {cg_2l}"
+    )

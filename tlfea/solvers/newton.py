@@ -101,7 +101,7 @@ def _pcg(hvp, precond, b, rtol, max_iter):
     return x, k, flat_norm(r)
 
 
-def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: System):
+def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: System, coarse=None):
     """Inner Newton loop at fixed duals; returns (v, iters, ||g||)."""
     dt, rho = params.dt, params.rho
 
@@ -115,8 +115,22 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     # (`SyncedNewton.cu:1101-1108`).
     blocks0 = precond_blocks(v0, x_prev, dt, rho, system)
 
-    def precond(r):
-        return solve3x3(blocks0, r, eps=1e-30)
+    if coarse is not None:
+        # Two-level preconditioner: block-Jacobi + exact Galerkin coarse
+        # correction (see tlfea.solvers.coarse) for stiff/slender systems
+        # where block-Jacobi CG stalls on long-wavelength modes.
+        from tlfea.solvers.coarse import coarse_operator, make_two_level_precond
+
+        Ac = coarse_operator(
+            x_prev + dt * v0, system.elems, system.material,
+            system.constraints, coarse, dt, rho,
+        )
+        chol = jax.scipy.linalg.cho_factor(Ac, lower=True)[0]
+        precond = make_two_level_precond(blocks0, chol, coarse)
+    else:
+
+        def precond(r):
+            return solve3x3(blocks0, r, eps=1e-30)
 
     def cond(carry):
         v, k, norm_g, norm_g0, _ = carry
@@ -172,14 +186,16 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     return v, iters, norm_g, cg_total, hist
 
 
-def _step(system: System, state: StepState, params: NewtonParams, f_ext):
+def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=None):
     """One backward-Euler step; returns (new_state, diagnostics dict)."""
     x_prev = state.x
     cons = system.constraints
 
     def outer_body(carry):
         v, v_prev, lam, k, _, newton_tot, cg_tot, _h = carry
-        v, n_it, norm_g, cg_it, hist = _newton_inner(v, x_prev, v_prev, lam, f_ext, params, system)
+        v, n_it, norm_g, cg_it, hist = _newton_inner(
+            v, x_prev, v_prev, lam, f_ext, params, system, coarse
+        )
         v_prev = v
         if cons is not None:
             x = x_prev + params.dt * v
@@ -218,23 +234,27 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext):
 step = jax.jit(_step)
 
 
-def make_step(system: System, params: NewtonParams):
-    """Return a jitted step(state, f_ext) closure over a fixed system."""
+def make_step(system: System, params: NewtonParams, coarse=None):
+    """Return a jitted step(state, f_ext) closure over a fixed system.
+
+    coarse: optional `tlfea.solvers.coarse.CoarseSetup` enabling the
+    two-level preconditioner (SVK systems).
+    """
 
     @jax.jit
     def _f(state, f_ext):
-        return _step(system, state, params, f_ext)
+        return _step(system, state, params, f_ext, coarse)
 
     return _f
 
 
-def stepper(params):
+def stepper(params, coarse=None):
     """Jitted step(system, state, f_ext) — the `Simulation` contract; the
     system is a pytree argument, so constraint targets / material parameters
     may change between calls without retracing."""
 
     @jax.jit
     def _f(system, state, f_ext):
-        return _step(system, state, params, f_ext)
+        return _step(system, state, params, f_ext, coarse)
 
     return _f
