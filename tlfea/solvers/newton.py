@@ -141,15 +141,16 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         return jnp.logical_and(k < params.max_inner, not_conv)
 
     def body(carry):
-        v, k, norm_g, norm_g0, norm_g_prev, cg_total = carry
+        # g is carried from the previous iteration's post-update evaluation,
+        # so each Newton iteration computes exactly one gradient.
+        v, g, k, norm_g, norm_g0, norm_g_prev, cg_total = carry
         import os
 
         if os.environ.get("TLFEA_CG_LINEARIZE", "0") != "0":
             # Linearize once per Newton iteration: CG evaluates the
             # tangent-only function (no primal recompute per Hv).
-            g, hvp = jax.linearize(g_of, v)
+            _, hvp = jax.linearize(g_of, v)
         else:
-            g = g_of(v)
 
             def hvp(p):
                 return jax.jvp(g_of, (v,), (p,))[1]
@@ -162,10 +163,12 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         eta = jnp.clip(eta, params.cg_rtol, jnp.maximum(params.ew_eta_max, params.cg_rtol))
         dv, cg_iters, _ = _pcg(hvp, precond, -g, eta, params.cg_max_iter)
         v = v + dv
-        norm_g_new = flat_norm(g_of(v))
-        return (v, k + 1, norm_g_new, norm_g0, norm_g, cg_total + cg_iters)
+        g_new = g_of(v)
+        norm_g_new = flat_norm(g_new)
+        return (v, g_new, k + 1, norm_g_new, norm_g0, norm_g, cg_total + cg_iters)
 
-    norm_g_init = flat_norm(g_of(v0))
+    g_init = g_of(v0)
+    norm_g_init = flat_norm(g_init)
     # Per-iteration ||g|| telemetry (the reference prints these every inner
     # iteration, `SyncedNewton.cu:1065`; here they are recorded on-device and
     # returned in the diagnostics without any host sync).
@@ -174,14 +177,14 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     def body_h(carry):
         inner, hist = carry
         new_inner = body(inner)
-        k_new = new_inner[1]
-        hist = hist.at[k_new].set(new_inner[2])
+        k_new = new_inner[2]
+        hist = hist.at[k_new].set(new_inner[3])
         return (new_inner, hist)
 
-    (v, iters, norm_g, _, _, cg_total), hist = jax.lax.while_loop(
-        lambda c: cond((c[0][0], c[0][1], c[0][2], c[0][3], c[0][5])),
+    (v, _, iters, norm_g, _, _, cg_total), hist = jax.lax.while_loop(
+        lambda c: cond((c[0][0], c[0][2], c[0][3], c[0][4], c[0][6])),
         body_h,
-        ((v0, 0, norm_g_init, norm_g_init, norm_g_init, 0), hist0),
+        ((v0, g_init, 0, norm_g_init, norm_g_init, norm_g_init, 0), hist0),
     )
     return v, iters, norm_g, cg_total, hist
 
