@@ -90,7 +90,12 @@ def main():
             inodes[:, 2].min() - fl_h - args["drop_height"],
         ),
     )
+    item_npz = (node or "").replace(".node", ".npz").replace(".1.npz", ".1.uncompressed.npz")
     for mid in (item, floor):
+        if mid == item and node and os.path.exists(item_npz):
+            # Reference NPZ scene asset: corner-vertex pressures.
+            mm.load_corner_pressures_from_npz(mid, item_npz)
+            continue
         inst = mm.instances[mid]
         local_conn = mm.elements[inst.elem_offset : inst.elem_offset + inst.n_elems] - inst.node_offset
         mm.set_scalar_field(

@@ -63,14 +63,20 @@ def main():
         a = mm.add_mesh(nodes1, conn1, "box_a")
         b = mm.add_mesh(nodes1, conn1, "box_b")
 
-    # Stack sphere b above a with a gap; pressure = modulus * depth.
+    # Stack sphere b above a with a gap; pressure fields from the reference's
+    # NPZ assets when available (corner-vertex pressures), else computed
+    # distance-to-surface fields.
     za = mm.mesh_nodes(a)[:, 2]
     mm.translate_mesh(b, (0.0, 0.0, za.max() - za.min() + args["drop_height"]))
+    npz = os.path.join(REF_DATA, "meshes/T10/sphere.1.uncompressed.npz")
     for mid in (a, b):
-        inst_nodes = mm.mesh_nodes(mid)
-        inst = mm.instances[mid]
-        conn_local = mm.elements[inst.elem_offset : inst.elem_offset + inst.n_elems] - inst.node_offset
-        mm.set_scalar_field(mid, distance_pressure_field(inst_nodes, conn_local, args["modulus"]))
+        if os.path.exists(npz):
+            mm.load_corner_pressures_from_npz(mid, npz)
+        else:
+            inst_nodes = mm.mesh_nodes(mid)
+            inst = mm.instances[mid]
+            conn_local = mm.elements[inst.elem_offset : inst.elem_offset + inst.n_elems] - inst.node_offset
+            mm.set_scalar_field(mid, distance_pressure_field(inst_nodes, conn_local, args["modulus"]))
 
     nodes, conn = mm.nodes, mm.elements
     print(f"scene: {conn.shape[0]} elems, {nodes.shape[0]} nodes")

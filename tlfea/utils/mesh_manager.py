@@ -85,6 +85,23 @@ class MeshManager:
             )
         inst.scalar_field = f
 
+    def load_corner_pressures_from_npz(self, mesh_id: int, path: str, key: str = "p_vertex"):
+        """Load the reference's NPZ scene assets (e.g. `data/meshes/T10/
+        item_drop/dragon.npz`): `p_vertex` holds pressures at the CORNER
+        vertices, which TetGen numbers first — exactly the values the
+        hydroelastic narrowphase reads (it only uses the 4 tet corners).
+        Midside nodes get zero (never read)."""
+        data = np.load(path)
+        p = np.asarray(data[key], dtype=np.float64).reshape(-1)
+        inst = self.instances[mesh_id]
+        if p.shape[0] > inst.n_nodes:
+            raise ValueError(
+                f"{p.shape[0]} corner pressures > {inst.n_nodes} mesh nodes"
+            )
+        field = np.zeros(inst.n_nodes)
+        field[: p.shape[0]] = p
+        inst.scalar_field = field
+
     def set_scalar_field(self, mesh_id: int, values: np.ndarray):
         inst = self.instances[mesh_id]
         values = np.asarray(values, dtype=np.float64).reshape(-1)
