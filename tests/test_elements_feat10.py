@@ -171,3 +171,20 @@ def test_tangent_diag_block_matches_jacfwd():
     K_ref = np.einsum("djel,j,l->de", np.asarray(A), np.asarray(h), np.asarray(h))
     K = np.asarray(mr.tangent_diag_block(F, h))
     np.testing.assert_allclose(K, K_ref, rtol=1e-8)
+
+
+def test_mooney_rivlin_du_path_matches_classic():
+    """Strain-safe MR first_piola_du == first_piola(I + Du) in f64; in f32 it
+    must be far closer to the f64 truth at small strains."""
+    rng = np.random.default_rng(9)
+    Du = 1e-5 * rng.standard_normal((8, 3, 3))
+    mat = MooneyRivlin(mu10=3e5, mu01=1e5, kappa=1e9)
+    P_cl = np.asarray(mat.first_piola(jnp.asarray(np.eye(3) + Du)))
+    P_du = np.asarray(mat.first_piola_du(jnp.asarray(Du)))
+    np.testing.assert_allclose(P_du, P_cl, rtol=1e-9, atol=1e-12 * np.abs(P_cl).max())
+
+    Du32 = jnp.asarray(Du.astype(np.float32))
+    s = np.abs(P_cl).max()
+    err_cl = np.abs(np.asarray(mat.first_piola(Du32 + jnp.eye(3, dtype=jnp.float32))) - P_cl).max() / s
+    err_du = np.abs(np.asarray(mat.first_piola_du(Du32)) - P_cl).max() / s
+    assert err_du < 0.01 * err_cl, f"du-path {err_du:.2e} vs classic {err_cl:.2e}"

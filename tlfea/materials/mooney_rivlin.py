@@ -58,6 +58,44 @@ class MooneyRivlin:
         term2 = I1[..., None, None] * F - FC - (2.0 * I2 / 3.0)[..., None, None] * FinvT
         return t1 * term1 + t2 * term2 + t3 * FinvT
 
+    def first_piola_du(self, Du: jnp.ndarray) -> jnp.ndarray:
+        """P from the displacement gradient Du = F - I with an exact
+        (cancellation-free) J - 1:
+
+            J - 1 = tr(Du) + c2(Du) + det(Du),
+
+        c2 = sum of principal 2x2 minors. The volumetric term
+        kappa (J-1) J F^{-T} dominates the float32 noise of the naive
+        det(F) - 1 at small strains; the isochoric terms are evaluated as in
+        `first_piola` (their leading-order cancellations are structural to
+        the Mooney-Rivlin form).
+        """
+        F = Du + jnp.eye(3, dtype=Du.dtype)
+        trDu = Du[..., 0, 0] + Du[..., 1, 1] + Du[..., 2, 2]
+        c2 = (
+            Du[..., 0, 0] * Du[..., 1, 1] - Du[..., 0, 1] * Du[..., 1, 0]
+            + Du[..., 0, 0] * Du[..., 2, 2] - Du[..., 0, 2] * Du[..., 2, 0]
+            + Du[..., 1, 1] * Du[..., 2, 2] - Du[..., 1, 2] * Du[..., 2, 1]
+        )
+        Jm1 = trDu + c2 + det3x3(Du)
+        J = 1.0 + Jm1
+
+        C = jnp.einsum("...ki,...kj->...ij", F, F)
+        I1 = C[..., 0, 0] + C[..., 1, 1] + C[..., 2, 2]
+        trC2 = jnp.sum(C * jnp.swapaxes(C, -1, -2), axis=(-2, -1))
+        I2 = 0.5 * (I1 * I1 - trC2)
+        FinvT = inv_transpose3x3(F, det=J)
+        J13 = jnp.cbrt(J)
+        Jm23 = 1.0 / (J13 * J13)
+        Jm43 = Jm23 * Jm23
+        FC = jnp.einsum("...ik,...kj->...ij", F, C)
+        t1 = (2.0 * self.mu10 * Jm23)[..., None, None]
+        t2 = (2.0 * self.mu01 * Jm43)[..., None, None]
+        t3 = (self.kappa * Jm1 * J)[..., None, None]
+        term1 = F - (I1 / 3.0)[..., None, None] * FinvT
+        term2 = I1[..., None, None] * F - FC - (2.0 * I2 / 3.0)[..., None, None] * FinvT
+        return t1 * term1 + t2 * term2 + t3 * FinvT
+
     def energy_density(self, F: jnp.ndarray) -> jnp.ndarray:
         """W = mu10 (I1bar - 3) + mu01 (I2bar - 3) + kappa/2 (J - 1)^2."""
         C = jnp.einsum("...ki,...kj->...ij", F, F)
