@@ -106,17 +106,22 @@ def main():
         collision=collision, collision_params=col_params,
     )
 
+    from tlfea.utils.profiling import StepTimer
+
     d = out_dir("sphere_drop")
-    col_t = solve_t = 0.0
+    timer = StepTimer()
     for k in range(args["steps"]):
-        t0 = time.time()
+        # Per-phase timing without double work: time the collision inside a
+        # wrapped call, then the solver on top (reference prints the same
+        # per-phase averages, test_sphere_drop_collision.cc:448-473).
+        timer.start("collision")
         f_col, patches, overflow = collision.step(sim.state.x, sim.state.v, col_params)
-        jax.block_until_ready(f_col)
-        col_t += time.time() - t0
-        t0 = time.time()
-        diag = sim.step()
-        jax.block_until_ready(sim.state.x)
-        solve_t += time.time() - t0 - 0.0
+        timer.stop("collision", block_on=f_col)
+        sim.last_patches = patches
+        timer.start("solve")
+        sim.state, diag = sim.solver_step(sim.system, sim.state, sim.base_f_ext + f_col)
+        timer.stop("solve", block_on=sim.state.x)
+        sim.step_count += 1
         if k % 20 == 0:
             nc = int(np.asarray(patches.n_contacts))
             print(f"step {k:4d} contacts={nc:4d} |c|={float(diag['norm_c']):.1e}")
@@ -124,10 +129,9 @@ def main():
             io_vtk.write_vtu_t10(
                 os.path.join(d, f"scene_{k:05d}.vtu"), np.asarray(sim.state.x), conn
             )
-            io_vtk.write_vtp_patches(os.path.join(d, f"patches_{k:05d}.vtp"), sim.last_patches or patches)
+            io_vtk.write_vtp_patches(os.path.join(d, f"patches_{k:05d}.vtp"), patches)
 
-    n = args["steps"]
-    print(f"avg collision: {1e3*col_t/n:.2f} ms/step; avg solve+collision: {1e3*solve_t/n:.2f} ms/step")
+    print(timer.report())
     print(f"outputs in {d}/")
 
 

@@ -63,18 +63,34 @@ class HydroelasticCollision:
         self_col = self.enable_self_collision
         pressures_dev = self.pressures
 
+        # Phases are compiled SEPARATELY: measured on TPU, one fused jit of
+        # the whole pipeline ran 2.6x slower than the four phase programs
+        # (XLA scheduling pathology with the large masked intermediates);
+        # per-call dispatch is ~26 us and irrelevant (PERF_NOTES.md).
         @jax.jit
-        def _step(x, v, params: HydroelasticParams):
+        def _broad(x):
             pairs, valid, win_overflow = find_pairs(bp, x, self_col)
             pairs, valid, cap_overflow = compact_pairs(pairs, valid, max_pairs)
-            patches = compute_patches(
+            return pairs, valid, win_overflow | cap_overflow
+
+        @jax.jit
+        def _narrow(x, pairs, valid):
+            return compute_patches(
                 x, pressures_dev, bp.corners, pairs, valid, bp.mesh_ids, self_col
             )
-            f = patch_forces(
+
+        @jax.jit
+        def _forces(patches, x, v, params: HydroelasticParams):
+            return patch_forces(
                 patches, x, v, bp.corners,
                 damping=params.damping, friction=params.friction,
             )
-            return f, patches, win_overflow | cap_overflow
+
+        def _step(x, v, params: HydroelasticParams):
+            pairs, valid, overflow = _broad(x)
+            patches = _narrow(x, pairs, valid)
+            f = _forces(patches, x, v, params)
+            return f, patches, overflow
 
         self._step = _step
 
