@@ -48,6 +48,8 @@ def main():
         .add("modulus", 1e6, "hydroelastic modulus for the pressure fields")
         .add("rho_alm", 1e8, "ALM penalty")
         .add("drop_height", 0.15, "initial gap between spheres")
+        .add("window", 256, "broadphase window")
+        .add("max_pairs", 4096, "narrowphase pair capacity")
         .add("vtk_every", 25, "export interval (0 = off)")
         .parse()
     )
@@ -93,7 +95,7 @@ def main():
     state = StepState.rest(system, nodes)
 
     collision = HydroelasticCollision(
-        conn, mm.elem_mesh_ids(), mm.scalar_field(), window=256, max_pairs=4096
+        conn, mm.elem_mesh_ids(), mm.scalar_field(), window=args["window"], max_pairs=args["max_pairs"]
     )
     col_params = HydroelasticParams(
         damping=args["contact_damping"], friction=args["friction"]
