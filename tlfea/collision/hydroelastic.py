@@ -19,7 +19,9 @@ from tlfea.collision.broadphase import (
     BroadphaseSetup,
     compact_pairs,
     find_pairs,
+    find_pairs_dense,
     setup_broadphase,
+    setup_dense_cross,
 )
 from tlfea.collision.forces import patch_forces
 from tlfea.collision.narrowphase import ContactPatches, compute_patches
@@ -52,6 +54,7 @@ class HydroelasticCollision:
         max_pairs: int = 4096,
         margin: float = 0.0,
         enable_self_collision: bool = False,
+        dense_cross_cap: int = 16_000_000,
     ):
         self.bp: BroadphaseSetup = setup_broadphase(
             conn, mesh_ids, window=window, margin=margin
@@ -59,9 +62,21 @@ class HydroelasticCollision:
         self.pressures = jnp.asarray(pressures)
         self.enable_self_collision = bool(enable_self_collision)
 
+        # Broadphase strategy: without self-collision, an exact dense
+        # cross-mesh test is robust to mixed element sizes (where the
+        # sweep window fails — see setup_dense_cross); fall back to
+        # sweep-and-prune when self-collision is on or the cross-pair count
+        # is too large.
+        self.cross_pairs = None
+        if not enable_self_collision:
+            cp = setup_dense_cross(conn, mesh_ids)
+            if cp is not None and cp.shape[0] <= dense_cross_cap:
+                self.cross_pairs = cp
+
         bp = self.bp
         self_col = self.enable_self_collision
         pressures_dev = self.pressures
+        cross_pairs = self.cross_pairs
 
         # Phases are compiled SEPARATELY: measured on TPU, one fused jit of
         # the whole pipeline ran 2.6x slower than the four phase programs
@@ -69,7 +84,10 @@ class HydroelasticCollision:
         # per-call dispatch is ~26 us and irrelevant (PERF_NOTES.md).
         @jax.jit
         def _broad(x):
-            pairs, valid, win_overflow = find_pairs(bp, x, self_col)
+            if cross_pairs is not None:
+                pairs, valid, win_overflow = find_pairs_dense(bp, x, cross_pairs)
+            else:
+                pairs, valid, win_overflow = find_pairs(bp, x, self_col)
             pairs, valid, cap_overflow = compact_pairs(pairs, valid, max_pairs)
             return pairs, valid, win_overflow | cap_overflow
 
