@@ -10,13 +10,11 @@ Run: python examples/sphere_drop_collision.py --steps=200
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from tlfea.collision.hydroelastic import HydroelasticCollision, HydroelasticParams
 from tlfea.constraints import FixedCoefs
