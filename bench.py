@@ -76,14 +76,22 @@ def main():
     )
     # Flagship config: residual + Hessian-vector products through the Pallas
     # element kernel (exact f32; ~8x faster Hv than the einsum path on TPU).
+    # Fall back to the XLA einsum path if the kernel fails to compile on this
+    # platform — a slower bench beats no bench.
     from tlfea.ops import pallas_fem
 
-    system = pallas_fem.with_pallas(system)
-    step = newton.make_step(system, params)
+    try:
+        psystem = pallas_fem.with_pallas(system)
+        step = newton.make_step(psystem, params)
+        s, d = step(state, f_ext)  # warmup / compile
+        jax.block_until_ready(s)
+    except Exception as e:  # pragma: no cover
+        import sys
 
-    # Warmup / compile.
-    s, d = step(state, f_ext)
-    jax.block_until_ready(s)
+        print(f"pallas path unavailable ({type(e).__name__}); using XLA path", file=sys.stderr)
+        step = newton.make_step(system, params)
+        s, d = step(state, f_ext)
+        jax.block_until_ready(s)
 
     n_steps = 10
     times = []
