@@ -56,6 +56,12 @@ class HydroelasticCollision:
         enable_self_collision: bool = False,
         dense_cross_cap: int = 16_000_000,
     ):
+        self._init_args = dict(
+            conn=np.asarray(conn), mesh_ids=np.asarray(mesh_ids),
+            pressures=np.asarray(pressures), window=window, max_pairs=max_pairs,
+            margin=margin, enable_self_collision=enable_self_collision,
+            dense_cross_cap=dense_cross_cap,
+        )
         self.bp: BroadphaseSetup = setup_broadphase(
             conn, mesh_ids, window=window, margin=margin
         )
@@ -124,3 +130,13 @@ class HydroelasticCollision:
         """Narrowphase only (for inspection/visualization)."""
         _, patches, _ = self.step(x)
         return patches
+
+    def grow(self, factor: int = 2) -> "HydroelasticCollision":
+        """Return a rebuilt collision system with `factor`x the candidate
+        capacity (both the sweep window and max_pairs — either can be the
+        overflow source). Used by `Simulation` to auto-recover from capacity
+        overflow instead of aborting."""
+        args = dict(self._init_args)
+        args["window"] = args["window"] * factor
+        args["max_pairs"] = args["max_pairs"] * factor
+        return HydroelasticCollision(**args)

@@ -464,10 +464,14 @@ def with_pallas(system, dtype=np.float32, interpret=False):
     return system.replace(pallas=handle)
 
 
-def residual_contributions(x, v, dv_dt, elems, contrib, tpd):
+def residual_contributions(x, v, dv_dt, elems, contrib, tpd, extra_idx=None, extra_vals=None):
     """Full fused residual using the Pallas kernel: gather -> transpose ->
     kernel -> transpose -> scatter. Drop-in equal to
-    `assembly.alm_residual_contributions` for SVK materials."""
+    `assembly.alm_residual_contributions` for SVK materials.
+
+    extra_idx/extra_vals: optional additional (C,) indices / (C, 3) values
+    folded into the single scatter-add (used for pin-constraint forces so a
+    gradient costs exactly one gather + one scatter)."""
     S, E, E_pad = (
         (tpd["S"], tpd["E"], tpd["E_pad"])
         if isinstance(tpd, dict)
@@ -482,5 +486,10 @@ def residual_contributions(x, v, dv_dt, elems, contrib, tpd):
     outT = contrib(peT)  # (S*3, E_pad//LANE, LANE)
     out = outT.reshape(S, 3, E_pad)[:, :, :E]  # (S, 3, E)
     contrib_e = jnp.transpose(out, (2, 0, 1))  # (E, S, 3)
+    idx = elems.conn.reshape(-1)
+    vals = contrib_e.reshape(-1, 3)
+    if extra_idx is not None:
+        idx = jnp.concatenate([idx, extra_idx])
+        vals = jnp.concatenate([vals, extra_vals], axis=0)
     res = jnp.zeros((n, 3), dtype=x.dtype)
-    return res.at[elems.conn.reshape(-1)].add(contrib_e.reshape(-1, 3))
+    return res.at[idx].add(vals)

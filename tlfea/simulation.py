@@ -63,19 +63,49 @@ class Simulation:
         self.step_count = 0
         self.last_patches = None
         self.last_diag: dict = {}
+        # Deferred (one-step-delayed) collision-capacity check: checking the
+        # overflow flag synchronously would block the host on the device
+        # every step; by the next step the flag has long materialized, so
+        # reading it costs nothing. On overflow the capacity is auto-regrown
+        # (collision.grow()) instead of aborting the run; the overflowed
+        # step itself ran with dropped candidate pairs (logged).
+        self._pending_overflow = None
+        self.overflow_events = 0
+
+    def _check_overflow(self) -> None:
+        if self._pending_overflow is None:
+            return
+        flag, step_no = self._pending_overflow
+        self._pending_overflow = None
+        if not bool(flag):
+            return
+        self.overflow_events += 1
+        if hasattr(self.collision, "grow"):
+            self.collision = self.collision.grow()
+            import warnings
+
+            warnings.warn(
+                f"collision capacity overflow at step {step_no} (candidate pairs "
+                "exceeded the broadphase window or max_pairs); capacity regrown "
+                "automatically — that step ran with dropped pairs",
+                stacklevel=3,
+            )
+        else:
+            raise RuntimeError(
+                f"collision capacity overflow at step {step_no} — increase "
+                "HydroelasticCollision(window=...) or max_pairs=..."
+            )
 
     def step(self) -> dict:
         f_ext = self.base_f_ext
         if self.collision is not None:
+            self._check_overflow()
             f_col, patches, overflow = self.collision.step(
                 self.state.x, self.state.v, self.collision_params
             )
             f_ext = f_ext + f_col
             self.last_patches = patches
-            if bool(overflow):
-                raise RuntimeError(
-                    "broadphase window overflow — increase HydroelasticCollision(window=...)"
-                )
+            self._pending_overflow = (overflow, self.step_count)
         self.state, diag = self.solver_step(self.system, self.state, f_ext)
         self.step_count += 1
         self.last_diag = diag
@@ -97,10 +127,10 @@ class Simulation:
         cons = self.system.constraints
         if cons is None or not hasattr(cons, "with_targets"):
             raise ValueError("system has no retargetable constraints")
-        self.system = System(
-            elems=self.system.elems,
-            material=self.system.material,
-            constraints=cons.with_targets(jnp.asarray(target)),
+        # .replace keeps every other field (notably the static pallas kernel
+        # handle) — rebuilding System from scratch silently dropped it.
+        self.system = self.system.replace(
+            constraints=cons.with_targets(jnp.asarray(target))
         )
 
     # -- checkpoint / resume ---------------------------------------------

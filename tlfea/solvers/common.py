@@ -46,6 +46,12 @@ class System:
     # Optional Pallas element-kernel handle (static; see
     # tlfea.ops.pallas_fem.with_pallas). None -> XLA einsum path.
     pallas: Any = struct.field(pytree_node=False, default=None)
+    # Fuse mass+internal-force (+pin-constraint) contributions into a single
+    # gather/scatter pair per gradient (PERF_NOTES: op count of
+    # gathers/scatters dominates at FEM sizes). Static so it participates in
+    # the jit cache key (round-1 review: env-var toggles inside traced code
+    # silently shared compile caches).
+    fused_grad: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def n_coef(self) -> int:
@@ -88,8 +94,6 @@ def grad_L(
     system: System,
 ) -> jnp.ndarray:
     """ALM gradient g(v), shape (n_coef, 3). Pure in v -> exact Hv via jax.jvp."""
-    import os
-
     from tlfea.constraints import FixedCoefs
 
     elems = system.elems
@@ -98,15 +102,23 @@ def grad_L(
     if system.pallas is not None:
         from tlfea.ops.pallas_fem import residual_contributions
 
+        extra_idx = extra_vals = None
+        if isinstance(cons, FixedCoefs):
+            # Fold the pin-constraint force h (lam + rho c) into the element
+            # scatter: one scatter-add per gradient, total.
+            c = x[cons.idx] - cons.target
+            extra_idx = cons.idx
+            extra_vals = dt * (lam + rho * c)
         g = residual_contributions(
-            x, v, (v - v_prev) / dt, elems, system.pallas.fn, system.pallas
+            x, v, (v - v_prev) / dt, elems, system.pallas.fn, system.pallas,
+            extra_idx=extra_idx, extra_vals=extra_vals,
         ) - f_ext
-        if cons is not None:
+        if cons is not None and not isinstance(cons, FixedCoefs):
             c = eval_constraints(cons, x)
             g = g + dt * cons.apply_jt(lam + rho * c, elems.n_coef)
         return g
 
-    if os.environ.get("TLFEA_FUSED_GRAD", "1") != "0":
+    if system.fused_grad:
         from tlfea.elements.assembly import _element_contrib_values
         from tlfea.ops.segment import coef_scatter_add
 

@@ -132,60 +132,54 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         def precond(r):
             return solve3x3(blocks0, r, eps=1e-30)
 
+    tiny = jnp.asarray(jnp.finfo(v0.dtype).tiny, v0.dtype)
+
     def cond(carry):
-        v, k, norm_g, norm_g0, _ = carry
-        not_conv = jnp.logical_and(
-            norm_g >= params.inner_atol,
-            jnp.logical_or(params.inner_rtol <= 0.0, norm_g > params.inner_rtol * norm_g0),
-        )
-        return jnp.logical_and(k < params.max_inner, not_conv)
+        v, k, done, *_ = carry
+        return jnp.logical_and(k < params.max_inner, jnp.logical_not(done))
 
     def body(carry):
-        # g is carried from the previous iteration's post-update evaluation,
-        # so each Newton iteration computes exactly one gradient.
-        v, g, k, norm_g, norm_g0, norm_g_prev, cg_total = carry
-        import os
-
-        if os.environ.get("TLFEA_CG_LINEARIZE", "0") != "0":
-            # Linearize once per Newton iteration: CG evaluates the
-            # tangent-only function (no primal recompute per Hv).
-            _, hvp = jax.linearize(g_of, v)
-        else:
-
-            def hvp(p):
-                return jax.jvp(g_of, (v,), (p,))[1]
-
+        v, k, done, norm_g, norm_g0, norm_g_prev, cg_total, hist = carry
+        # One primal gradient evaluation per Newton iteration; CG applies its
+        # tangent-only linearization (the round-1 jvp path recomputed the
+        # full primal residual inside every Hessian-vector product).
+        g, hvp = jax.linearize(g_of, v)
+        norm_g_new = flat_norm(g)
+        norm_g0 = jnp.where(k == 0, norm_g_new, norm_g0)
+        # Per-iteration ||g|| telemetry (the reference prints these every
+        # inner iteration, `SyncedNewton.cu:1065`; recorded on-device).
+        hist = hist.at[k].set(norm_g_new)
+        conv = jnp.logical_or(
+            norm_g_new < params.inner_atol,
+            jnp.logical_and(
+                params.inner_rtol > 0.0, norm_g_new <= params.inner_rtol * norm_g0
+            ),
+        )
         # Eisenstat-Walker forcing (choice 2): eta_k = 0.9 (g_k/g_{k-1})^2,
         # clipped to [cg_rtol, ew_eta_max] — loose CG early, tight as Newton
-        # converges.
-        ratio = norm_g / jnp.maximum(norm_g_prev, 1e-300)
-        eta = 0.9 * ratio * ratio
-        eta = jnp.clip(eta, params.cg_rtol, jnp.maximum(params.ew_eta_max, params.cg_rtol))
-        dv, cg_iters, _ = _pcg(hvp, precond, -g, eta, params.cg_max_iter)
+        # converges. First iteration has no history: use the loose end.
+        emax = jnp.maximum(params.ew_eta_max, params.cg_rtol)
+        ratio = norm_g_new / jnp.maximum(norm_g_prev, tiny)
+        eta = jnp.clip(0.9 * ratio * ratio, params.cg_rtol, emax)
+        eta = jnp.where(k == 0, emax, eta)
+
+        def do_cg(_):
+            dv, it, _r = _pcg(hvp, precond, -g, eta, params.cg_max_iter)
+            return dv, jnp.asarray(it, jnp.int32)
+
+        def skip(_):
+            return jnp.zeros_like(v), jnp.asarray(0, jnp.int32)
+
+        dv, cg_iters = jax.lax.cond(conv, skip, do_cg, None)
         v = v + dv
-        g_new = g_of(v)
-        norm_g_new = flat_norm(g_new)
-        return (v, g_new, k + 1, norm_g_new, norm_g0, norm_g, cg_total + cg_iters)
+        k = k + jnp.where(conv, 0, 1)
+        return (v, k, conv, norm_g_new, norm_g0, norm_g_new, cg_total + cg_iters, hist)
 
-    g_init = g_of(v0)
-    norm_g_init = flat_norm(g_init)
-    # Per-iteration ||g|| telemetry (the reference prints these every inner
-    # iteration, `SyncedNewton.cu:1065`; here they are recorded on-device and
-    # returned in the diagnostics without any host sync).
-    hist0 = jnp.full((params.max_inner + 1,), jnp.nan, dtype=v0.dtype).at[0].set(norm_g_init)
-
-    def body_h(carry):
-        inner, hist = carry
-        new_inner = body(inner)
-        k_new = new_inner[2]
-        hist = hist.at[k_new].set(new_inner[3])
-        return (new_inner, hist)
-
-    (v, _, iters, norm_g, _, _, cg_total), hist = jax.lax.while_loop(
-        lambda c: cond((c[0][0], c[0][2], c[0][3], c[0][4], c[0][6])),
-        body_h,
-        ((v0, g_init, 0, norm_g_init, norm_g_init, norm_g_init, 0), hist0),
-    )
+    hist0 = jnp.full((params.max_inner + 1,), jnp.nan, dtype=v0.dtype)
+    big = jnp.asarray(jnp.inf, v0.dtype)
+    init = (v0, jnp.asarray(0, jnp.int32), jnp.asarray(False), big, big, big,
+            jnp.asarray(0, jnp.int32), hist0)
+    v, iters, _, norm_g, _, _, cg_total, hist = jax.lax.while_loop(cond, body, init)
     return v, iters, norm_g, cg_total, hist
 
 

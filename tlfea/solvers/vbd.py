@@ -78,6 +78,15 @@ def prepare(system: System, group_size: int = 4, dtype=None) -> VBDStructures:
     fixed_map = np.full(n_coef, -1, dtype=np.int32)
     cons = system.constraints
     if cons is not None:
+        if not hasattr(cons, "idx"):
+            # Parity with the reference: its VBD also only handles pin
+            # constraints (`SyncedVBD.cu:1089-1118`); welded/linear rows
+            # would need cross-node coupling inside the block solve.
+            raise ValueError(
+                "VBD supports FixedCoefs (pin) constraints only; got "
+                f"{type(cons).__name__} — use the newton/nesterov/adamw "
+                "solvers for linear constraints"
+            )
         idx = np.asarray(cons.idx)
         fixed_map[idx] = np.arange(idx.shape[0], dtype=np.int32)
 
