@@ -49,6 +49,8 @@ def main():
         .add("damping", 1e2, "Kelvin-Voigt damping")
         .add("friction", 0.4, "Coulomb friction")
         .add("modulus", 1e6, "hydroelastic modulus")
+        .add("dem_kn", 1e6, "DEM normal stiffness (collision=deme)")
+        .add("dem_cn", 1e2, "DEM normal damping (collision=deme)")
         .add("rho_alm", 1e8, "ALM penalty")
         .add("drop_height", 0.05, "initial gap above the floor")
         .add("window", 256, "broadphase window")
@@ -121,14 +123,19 @@ def main():
             conn, mm.elem_mesh_ids(), mm.scalar_field(),
             window=args["window"], max_pairs=args["max_pairs"],
         )
+        col_params = HydroelasticParams(friction=args["friction"])
     elif args["collision"] == "deme":
-        from tlfea.collision.dem_bridge import DemMeshCollision
+        # Native on-device DEM (DEM-Engine-style sphere contacts): every
+        # surface vertex carries a contact sphere; spring-dashpot +
+        # regularized Coulomb friction between meshes.
+        from tlfea.collision.dem import DemParams, NodeSphereDem
 
-        collision = DemMeshCollision(mm)  # raises with guidance if DEME absent
+        collision = NodeSphereDem(
+            nodes, [mm.surface_triangles(mid) for mid in range(len(mm.instances))]
+        )
+        col_params = DemParams(kn=args["dem_kn"], cn=args["dem_cn"], mu=args["friction"])
     else:
         raise SystemExit("--collision must be hydro or deme")
-
-    col_params = HydroelasticParams(friction=args["friction"])
     step = make_solver(args["solver"], system, args["dt"], args["rho_alm"])
     sim = Simulation(
         system, state, step, base_f_ext=gravity_force(system),

@@ -51,22 +51,30 @@ def spread_point_forces(
 
 
 class DemMeshCollision:
-    """CollisionSystem-compatible DEM bridge.
+    """CollisionSystem-compatible bridge for an external (host-side) DEM
+    engine.
 
-    Pass `backend` implementing `do_dynamics(meshes, dt) -> (points, forces)`
-    (a host-side DEM engine); without one, construction fails with guidance,
-    matching the reference's hard dependency on DEM-Engine
-    (`MODULE.bazel:13-22`).
+    Pass `backend` implementing
+    `do_dynamics(meshes, x) -> (points, forces, mesh_ids)` where `mesh_ids`
+    attributes each contact to one registered mesh (the reference retrieves
+    forces per registered DEME mesh owner,
+    `DemeMeshCollisionSystem.cu:607-615`); each contact is spread only onto
+    its own mesh's surface nodes, so Newton's third law holds across meshes.
+    Backends returning only (points, forces) are rejected.
+
+    For a fully on-device DEM that needs no external engine, use
+    `tlfea.collision.dem.NodeSphereDem` / `GranularDem`.
     """
 
     def __init__(self, mesh_manager, backend=None, k_nearest: int = 4):
         if backend is None:
             raise RuntimeError(
-                "DEM collision backend requires an external DEM engine "
-                "(the reference uses projectchrono/DEM-Engine, a CUDA "
-                "project unavailable on TPU hosts). Provide backend= with "
-                "do_dynamics(meshes, dt) -> (contact_points, forces), or "
-                "use the hydroelastic backend."
+                "DemMeshCollision is the bridge for an EXTERNAL host-side "
+                "DEM engine (the reference uses projectchrono/DEM-Engine, a "
+                "CUDA project unavailable on TPU hosts). Provide backend= "
+                "with do_dynamics(meshes, x) -> (points, forces, mesh_ids), "
+                "or use the native on-device backend: "
+                "tlfea.collision.dem.NodeSphereDem."
             )
         self.mm = mesh_manager
         self.backend = backend
@@ -76,13 +84,23 @@ class DemMeshCollision:
         import jax.numpy as jnp
 
         x_np = np.asarray(x)
-        points, forces = self.backend.do_dynamics(self.mm, x_np)
+        out = self.backend.do_dynamics(self.mm, x_np)
+        if len(out) != 3:
+            raise ValueError(
+                "DEM backend must return (points, forces, mesh_ids): without "
+                "per-contact mesh attribution the bridge cannot spread forces "
+                "correctly across multiple meshes"
+            )
+        points, forces, mesh_ids = (np.asarray(a) for a in out)
         f = np.zeros_like(x_np)
         for mid, inst in enumerate(self.mm.instances):
+            sel = mesh_ids == mid
+            if not sel.any():
+                continue
             tris = self.mm.surface_triangles(mid)
             surf_ids = np.unique(tris.reshape(-1))
             spread = spread_point_forces(
-                np.asarray(points), np.asarray(forces), x_np[surf_ids], k=self.k_nearest
+                points[sel], forces[sel], x_np[surf_ids], k=self.k_nearest
             )
             f[surf_ids] += spread
         return jnp.asarray(f), None, False
