@@ -32,7 +32,7 @@ def main():
     args = (
         Cli("ANCF3443 airless tire (reference: test_ancf3443_mesh_newton.cc)")
         .add("mesh", os.path.join(REF_DATA, "meshes/ANCF3443/airless_tire.ancf3443mesh"), "")
-        .add("solver", "newton", "newton|nesterov|adamw (vbd: pin constraints only)")
+        .add("solver", "newton", "newton|nesterov|adamw|vbd")
         .add("steps", 10, "time steps")
         .add("dt", 1e-3, "time step [s]")
         .add("E", 1e7, "Young's modulus")

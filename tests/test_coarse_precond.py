@@ -29,6 +29,47 @@ def setup():
     return nodes, system
 
 
+def test_frozen_coarse_precond_cuts_cg_and_preserves_solution():
+    """CoarsePrecond (frozen, matmul apply, translations+rotations) on a
+    stiff slender cantilever: >=4x fewer CG iterations than block-Jacobi,
+    bit-comparable solution."""
+    import jax.numpy as jnp
+
+    from tlfea.constraints import FixedCoefs
+    from tlfea.elements import feat10
+    from tlfea.elements.assembly import lumped_mass
+    from tlfea.materials import SVK, lame_from_E_nu
+    from tlfea.solvers import StepState, System
+    from tlfea.solvers.coarse import build_coarse_precond
+    from tlfea.utils.tetmesh import box_t10_mesh
+
+    nodes, conn = box_t10_mesh(1.0, 0.1, 0.1, 10, 1, 1)
+    lam, mu = lame_from_E_nu(2e9, 0.3)
+    mat = SVK(lam=lam, mu=mu, eta_damp=1e4, lam_damp=1e4)
+    fixed = np.nonzero(nodes[:, 0] < 1e-12)[0]
+    system = System(
+        elems=feat10.build(nodes, conn, rho=1000.0), material=mat,
+        constraints=FixedCoefs.from_indices(fixed, nodes),
+    )
+    state = StepState.rest(system, nodes)
+    f_ext = jnp.zeros((len(nodes), 3)).at[:, 2].add(lumped_mass(system.elems) * -9.81)
+    params = newton.NewtonParams(
+        dt=2e-3, rho=1e9, inner_atol=1e-6, max_outer=1, max_inner=4,
+        cg_rtol=1e-4, cg_max_iter=2000, ew_eta_max=0.0,
+    )
+    coarse = build_coarse_precond(system, nodes, 2e-3, 1e9, rotations=True)
+
+    s_bj, d_bj = newton.make_step(system, params)(state, f_ext)
+    s_cp, d_cp = newton.make_step(system, params, coarse=coarse)(state, f_ext)
+
+    assert int(d_cp["cg_iters"]) * 4 <= int(d_bj["cg_iters"]), (
+        int(d_cp["cg_iters"]), int(d_bj["cg_iters"]),
+    )
+    scale = float(jnp.abs(s_bj.x - nodes).max())
+    err = float(jnp.abs(s_cp.x - s_bj.x).max())
+    assert err < 1e-5 * max(scale, 1e-12), (err, scale)
+
+
 def test_coarse_operator_spd():
     nodes, system = setup()
     coarse = build_aggregates(nodes, target_cluster=24)

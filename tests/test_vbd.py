@@ -85,3 +85,33 @@ def test_vbd_free_fall():
         state, _ = step(state, f_ext)
     v = np.asarray(state.v)
     np.testing.assert_allclose(v[:, 2], 3 * (-9.81) * dt, rtol=1e-5)
+
+
+def test_vbd_linear_constraints():
+    """Round-2 VBD supports general linear constraints (welds) — beyond the
+    reference, whose VBD handles pins only (`SyncedVBD.cu:1089-1118`)."""
+    from tlfea.constraints import LinearConstraintBuilder
+    from tlfea.elements.assembly import lumped_mass
+
+    nodes, conn = box_t10_mesh(0.6, 0.2, 0.2, 3, 1, 1)
+    lam, mu = lame_from_E_nu(1e6, 0.3)
+    mat = SVK(lam=lam, mu=mu, eta_damp=1e2, lam_damp=1e2)
+    b = LinearConstraintBuilder()
+    for i in np.nonzero(nodes[:, 0] < 1e-12)[0]:
+        for d in range(3):
+            b.fix_dof(int(i), d, float(nodes[i, d]))
+    cons = b.build()
+    elems = feat10.build(nodes, conn, rho=1000.0)
+    system = System(elems=elems, material=mat, constraints=cons)
+    m = lumped_mass(elems)
+    f_ext = jnp.zeros((nodes.shape[0], 3)).at[:, 2].add(m * -9.81)
+    params = vbd.VBDParams(dt=2e-3, rho=1e7, inner_tol=1e-8, max_outer=3, max_sweeps=200)
+    step = vbd.make_step(system, params)
+    state = StepState.rest(system, nodes)
+    for _ in range(3):
+        state, diag = step(state, f_ext)
+    x = np.asarray(state.x)
+    assert np.isfinite(x).all()
+    clamped = np.nonzero(nodes[:, 0] < 1e-12)[0]
+    assert np.abs(x[clamped] - nodes[clamped]).max() < 5e-4  # weld rows hold (ALM)
+    assert x[:, 2].min() < -1e-5  # beam sags

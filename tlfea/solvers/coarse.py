@@ -112,6 +112,174 @@ def coarse_operator(x, elems: ElementBatch, material, cons, setup: CoarseSetup, 
     return Ad
 
 
+@struct.dataclass
+class CoarsePrecond:
+    """Frozen two-level coarse correction with matmul-based apply.
+
+    Built ONCE (typically at the rest configuration): piecewise-rigid modes
+    per spatial aggregate — 3 translations (+ 3 rotations when
+    `rotations`) — with the exact Galerkin operator A_c = R^T H(x0) R
+    Cholesky-factorized up front. Per CG iteration the apply is two (or
+    four) dense (na, n) matmuls + a small triangular solve: no gathers, no
+    scatters, no per-step assembly (PERF_NOTES: per-CG-iteration
+    gather/scatter ops are the TPU cost floor; the round-1 coarse apply
+    paid one scatter + one gather per iteration and re-assembled A_c every
+    inner solve).
+
+    Freezing at x0 is the multigrid "frozen coarse operator" trade: the
+    long-wavelength stiffness it must capture changes slowly with
+    deformation; rebuild via `build_coarse_precond` if the mesh deforms
+    far from the build state.
+    """
+
+    Agg: jnp.ndarray  # (na, n) one-hot aggregation, f32
+    u0: jnp.ndarray  # (n, 3) lever arms about aggregate centroids
+    chol: jnp.ndarray  # (k, k) lower Cholesky factor of A_c
+    rotations: bool = struct.field(pytree_node=False)
+    n_agg: int = struct.field(pytree_node=False)
+
+    def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
+        rc_t = self.Agg @ r  # (na, 3)
+        if not self.rotations:
+            return rc_t.reshape(-1)
+        rc_r = self.Agg @ jnp.cross(self.u0, r)  # moments
+        return jnp.concatenate([rc_t, rc_r], axis=1).reshape(-1)
+
+    def prolong(self, w: jnp.ndarray) -> jnp.ndarray:
+        k = 6 if self.rotations else 3
+        w = w.reshape(self.n_agg, k)
+        z = self.Agg.T @ w[:, :3]
+        if self.rotations:
+            om = self.Agg.T @ w[:, 3:]
+            z = z + jnp.cross(om, self.u0)
+        return z
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        rhs = self.restrict(r)
+        w = jax.scipy.linalg.cho_solve((self.chol, True), rhs)
+        return self.prolong(w)
+
+
+def _phi(u0_e, rotations: bool):
+    """Per-slot mode matrix Phi (…, 3, k): z = Phi @ [w; omega],
+    Phi = [I | -skew(u)]."""
+    shape = u0_e.shape[:-1]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=u0_e.dtype), shape + (3, 3))
+    if not rotations:
+        return eye
+    ux, uy, uz = u0_e[..., 0], u0_e[..., 1], u0_e[..., 2]
+    zero = jnp.zeros_like(ux)
+    # -skew(u): rows of (-u x e_j) -> (-skew(u))[d, c]
+    msk = jnp.stack(
+        [
+            jnp.stack([zero, uz, -uy], axis=-1),
+            jnp.stack([-uz, zero, ux], axis=-1),
+            jnp.stack([uy, -ux, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    return jnp.concatenate([eye, msk], axis=-1)  # (..., 3, 6)
+
+
+def build_coarse_precond(
+    system,
+    x0,
+    dt,
+    rho,
+    target_cluster: int = 48,
+    rotations: bool = True,
+    max_agg: int = 512,
+    chunk: int = 16384,
+) -> CoarsePrecond:
+    """Assemble + factor the frozen coarse correction at configuration x0.
+
+    SVK materials (closed-form pair tangents). `max_agg` caps the coarse
+    problem so the dense Agg matrix and Cholesky stay small at 100k+ elems.
+    """
+    x0np = np.asarray(x0)
+    n = x0np.shape[0]
+    target_cluster = max(target_cluster, int(np.ceil(n / max_agg)))
+    setup = build_aggregates(x0np, target_cluster=target_cluster)
+    na = setup.n_agg
+    agg = np.asarray(setup.agg)
+
+    dtype = x0np.dtype if isinstance(x0, np.ndarray) else np.asarray(x0).dtype
+    dtype = np.dtype(dtype)
+    counts = np.zeros(na)
+    np.add.at(counts, agg, 1.0)
+    cent = np.zeros((na, 3))
+    np.add.at(cent, agg, x0np)
+    cent /= counts[:, None]
+    u0 = (x0np - cent[agg]).astype(dtype)
+
+    Aggd = np.zeros((na, n), dtype=dtype)
+    Aggd[agg, np.arange(n)] = 1.0
+
+    elems = system.elems
+    material = system.material
+    k = 6 if rotations else 3
+    K = k * na
+    x0_d = jnp.asarray(x0np.astype(dtype))
+    u0_d = jnp.asarray(u0)
+
+    conn_np = np.asarray(elems.conn)
+    E = conn_np.shape[0]
+    Ac = jnp.zeros((na, na, k, k), dtype=jnp.asarray(x0_d).dtype)
+
+    @jax.jit
+    def accumulate(Ac, conn_c, gradN_c, dV_c, mass_c, xe_ref_c):
+        # F displacement-based (float32-robust), matching
+        # assembly.deformation_gradient: F = I + (x - X) . grad_N.
+        Du = jnp.einsum("eai,eqaj->eqij", x0_d[conn_c] - xe_ref_c, gradN_c)
+        F = Du + jnp.eye(3, dtype=Du.dtype)
+        Kb = _svk_pair_blocks(F, gradN_c, dV_c, material.lam, material.mu, dt)
+        eye = jnp.eye(3, dtype=Kb.dtype)
+        Hb = Kb + (mass_c / dt)[..., None, None] * eye  # (e,S,S,3,3)
+        Phi = _phi(u0_d[conn_c], rotations)  # (e,S,3,k)
+        Ac6 = jnp.einsum("eadf,eabdc,ebcg->eabfg", Phi, Hb, Phi)
+        ca = setup.agg[conn_c]
+        S = conn_c.shape[1]
+        rows = jnp.repeat(ca, S, axis=1).reshape(-1)
+        cols = jnp.tile(ca, (1, S)).reshape(-1)
+        return Ac.at[rows, cols].add(Ac6.reshape(-1, k, k))
+
+    for s0 in range(0, E, chunk):
+        s1 = min(s0 + chunk, E)
+        Ac = accumulate(
+            Ac,
+            jnp.asarray(conn_np[s0:s1]),
+            elems.grad_N[s0:s1],
+            elems.dV[s0:s1],
+            elems.mass_elem[s0:s1],
+            elems.xe_ref[s0:s1],
+        )
+
+    # Constraint penalty dt^2 rho R^T diag(J^T J) R (diagonal approximation
+    # for general linear constraints; exact for pins).
+    cons = system.constraints
+    if cons is not None:
+        d = cons.jtj_diag(n, Ac.dtype)
+        if d.ndim == 1:
+            d = d[:, None] * jnp.ones((1, 3), Ac.dtype)
+        Phi_n = _phi(u0_d, rotations)  # (n,3,k)
+        pen = jnp.einsum("ndf,nd,ndg->nfg", Phi_n, (dt * dt * rho) * d, Phi_n)
+        pen_a = jnp.zeros((na, k, k), dtype=Ac.dtype).at[setup.agg].add(pen)
+        Ac = Ac.at[jnp.arange(na), jnp.arange(na)].add(pen_a)
+
+    Ad = jnp.transpose(Ac, (0, 2, 1, 3)).reshape(K, K)
+    diag_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(Ad))), 1e-30)
+    Ad = 0.5 * (Ad + Ad.T) + (1e-5 * diag_scale) * jnp.eye(K, dtype=Ad.dtype)
+    chol = jax.scipy.linalg.cho_factor(Ad, lower=True)[0]
+
+    return CoarsePrecond(
+        Agg=jnp.asarray(Aggd),
+        u0=u0_d,
+        chol=chol,
+        rotations=rotations,
+        n_agg=na,
+    )
+
+
 def make_two_level_precond(blocks, chol, setup: CoarseSetup):
     """Additive two-level preconditioner apply: r -> B_j r + R A_c^{-1} R^T r.
 

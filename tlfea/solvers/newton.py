@@ -115,10 +115,15 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     # (`SyncedNewton.cu:1101-1108`).
     blocks0 = precond_blocks(v0, x_prev, dt, rho, system)
 
-    if coarse is not None:
-        # Two-level preconditioner: block-Jacobi + exact Galerkin coarse
-        # correction (see tlfea.solvers.coarse) for stiff/slender systems
-        # where block-Jacobi CG stalls on long-wavelength modes.
+    if coarse is not None and hasattr(coarse, "apply"):
+        # Frozen two-level correction (CoarsePrecond): matmul-based apply,
+        # no per-solve assembly (see tlfea.solvers.coarse).
+        def precond(r):
+            return solve3x3(blocks0, r, eps=1e-30) + coarse.apply(r)
+
+    elif coarse is not None:
+        # Legacy per-solve Galerkin assembly (CoarseSetup): exact at the
+        # current iterate, expensive — kept for validation.
         from tlfea.solvers.coarse import coarse_operator, make_two_level_precond
 
         Ac = coarse_operator(

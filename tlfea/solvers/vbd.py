@@ -1,24 +1,34 @@
 """Colored Vertex Block Descent implicit solver.
 
-Nonlinear block Gauss-Seidel over graph-colored coefficients: per color, every
-coefficient independently solves its local 3x3 system
+Nonlinear block Gauss-Seidel over graph-colored coefficients: per color,
+every coefficient independently takes a damped Newton step on its local 3x3
+system
 
-  H_a dv_a = -R_a,
-  R_a = [M (v - v_prev)/h]_a + f_int,a - f_ext,a + h (lam + rho c)_a
-  H_a = (M_aa/h) I + h * sum_{(e,q) incident} K_block(F_eq, gradN_eqa) dV
-        [+ h^2 rho I on pinned coefficients]
+  H_a dv_a = -g_a,
 
-with Hessian symmetrization + trace-scaled regularization and an
-omega-relaxed update (reference: `lib_src/solvers/SyncedVBD.cu:162-377`).
-Stress state (F, P) is cached and refreshed once per color *group*, the
-reference's `color_group_size` staleness/throughput trade
-(`SyncedVBD.cu:950-996, 1255-1285`).
+with g the exact ALM gradient and H_a the per-coefficient diagonal tangent
+block (reference: `lib_src/solvers/SyncedVBD.cu:162-377`).
 
-TPU mapping (SURVEY P7/P8): colors are host-precomputed; each color update is
-a batched gather -> 3x3 solve -> masked scatter over the color's padded node
-set; the per-sweep CUDA-graph replay becomes one jitted `lax.while_loop`.
-Within a color no two nodes share an element, so the updates are exactly
-parallel — the same invariant the reference's coloring guarantees.
+TPU mapping, round-2 design (SURVEY P7/P8): the round-1 port gathered each
+color's padded (element, qp) incidence lists (~6 gathers per color — the
+worst case for the measured fixed gather cost: 273 ms/sweep at 10.6k
+elems). On TPU the FUSED full-mesh residual (one gather + one scatter,
+Pallas element kernel) is cheaper than two incidence gathers, so instead:
+
+- the residual is refreshed as the full ALM gradient once per color GROUP
+  (the reference's `color_group_size` staleness/throughput trade,
+  `SyncedVBD.cu:950-996`; within a group colors see the group-start
+  residual — the reference similarly caches P within a group);
+- the 3x3 blocks H_a are the solver-shared `precond_blocks` (SPD-shifted
+  diagonal tangents), frozen per outer iteration — the reference extracts
+  the same blocks per sweep from cached F;
+- each color update is then: one M-row gather of g, one batched 3x3 solve,
+  one M-row scatter of dv. No incidence structures at all.
+
+A consequence of using `grad_L`/`precond_blocks` wholesale: this VBD
+supports every constraint family the other solvers do (including general
+LinearConstraints, which the reference's VBD does not — it handles pins
+only, `SyncedVBD.cu:1089-1118`).
 """
 
 from __future__ import annotations
@@ -28,12 +38,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from tlfea.elements.assembly import deformation_gradient, total_piola, mass_diag
 from tlfea.ops.linalg import solve3x3
-from tlfea.solvers.common import StepState, System, grad_L, flat_norm
+from tlfea.solvers.common import StepState, System, grad_L, precond_blocks, flat_norm
 from tlfea.utils.coloring import colors_and_incidence, pad_colors
 
-__all__ = ["VBDParams", "VBDStructures", "prepare", "make_step"]
+__all__ = ["VBDParams", "VBDStructures", "prepare", "make_step", "stepper"]
 
 
 @struct.dataclass
@@ -54,154 +63,65 @@ class VBDParams:
 
 @struct.dataclass
 class VBDStructures:
-    """Static coloring/incidence data (host-precomputed)."""
+    """Static coloring data (host-precomputed; the reference's lazy
+    `InitializeColoring`, `SyncedVBD.cu:764-1017`)."""
 
     color_nodes: jnp.ndarray  # (G, gs, M) int32
     color_mask: jnp.ndarray  # (G, gs, M) bool
-    inc: jnp.ndarray  # (n_coef, max_inc, 2) int32 (elem, local)
-    inc_mask: jnp.ndarray  # (n_coef, max_inc) bool
-    fixed_map: jnp.ndarray  # (n_coef,) int32: constraint slot or -1
-    m_diag: jnp.ndarray  # (n_coef,) consistent-mass diagonal
     n_groups: int = struct.field(pytree_node=False)
     group_size: int = struct.field(pytree_node=False)
 
 
 def prepare(system: System, group_size: int = 4, dtype=None) -> VBDStructures:
-    """Host-side coloring + incidence (the reference's lazy
-    `InitializeColoring` / `InitializeFixedMap` / `InitializeMassDiagBlocks`,
-    `SyncedVBD.cu:764-1118`)."""
+    """Host-side greedy coloring packed into conflict-free groups."""
     conn = np.asarray(system.elems.conn)
     n_coef = system.elems.n_coef
-    colors, inc, inc_mask = colors_and_incidence(conn, n_coef)
+    colors, _inc, _inc_mask = colors_and_incidence(conn, n_coef)
     nodes, mask = pad_colors(colors, group_size)
-
-    fixed_map = np.full(n_coef, -1, dtype=np.int32)
-    cons = system.constraints
-    if cons is not None:
-        if not hasattr(cons, "idx"):
-            # Parity with the reference: its VBD also only handles pin
-            # constraints (`SyncedVBD.cu:1089-1118`); welded/linear rows
-            # would need cross-node coupling inside the block solve.
-            raise ValueError(
-                "VBD supports FixedCoefs (pin) constraints only; got "
-                f"{type(cons).__name__} — use the newton/nesterov/adamw "
-                "solvers for linear constraints"
-            )
-        idx = np.asarray(cons.idx)
-        fixed_map[idx] = np.arange(idx.shape[0], dtype=np.int32)
-
-    md = mass_diag(system.elems)
     return VBDStructures(
         color_nodes=jnp.asarray(nodes),
         color_mask=jnp.asarray(mask),
-        inc=jnp.asarray(inc),
-        inc_mask=jnp.asarray(inc_mask),
-        fixed_map=jnp.asarray(fixed_map),
-        m_diag=md if dtype is None else md.astype(dtype),
         n_groups=int(nodes.shape[0]),
         group_size=int(nodes.shape[1]),
     )
 
 
-def _color_update(v, x_prev, v_prev, lam, f_ext, F, P, nodes, nmask, structures, params, system):
-    """One color's parallel block update. nodes: (M,), nmask: (M,)."""
-    elems = system.elems
-    dt = params.dt
-    inv_h = 1.0 / dt
-
-    inc = structures.inc[nodes]  # (M, I, 2)
-    imask = structures.inc_mask[nodes] & nmask[:, None]  # (M, I)
-    e_ids = inc[..., 0]  # (M, I)
-    a_ids = inc[..., 1]  # (M, I)
-
-    # ---- residual: consistent-mass row term (exact: global row = sum of
-    # incident element rows).
-    dv_h = (v - v_prev) * inv_h  # (n_coef, 3)
-    conn_e = elems.conn[e_ids]  # (M, I, S)
-    m_rows = jnp.take_along_axis(
-        elems.mass_elem[e_ids], a_ids[:, :, None, None], axis=2
-    )[:, :, 0, :]  # (M, I, S)
-    dv_gather = dv_h[conn_e]  # (M, I, S, 3)
-    r_mass = jnp.einsum("mis,misd->md", jnp.where(imask[..., None], m_rows, 0.0), dv_gather)
-
-    # ---- residual: internal force from cached P.
-    P_g = P[e_ids]  # (M, I, Q, 3, 3)
-    gN = jnp.take_along_axis(
-        elems.grad_N[e_ids], a_ids[:, :, None, None, None], axis=3
-    )[:, :, :, 0, :]  # (M, I, Q, 3)
-    dV_g = elems.dV[e_ids]  # (M, I, Q)
-    dV_g = jnp.where(imask[..., None], dV_g, 0.0)
-    r_int = jnp.einsum("miqde,miqe,miq->md", P_g, gN, dV_g)
-
-    r = r_mass + r_int - f_ext[nodes]
-
-    # ---- Hessian: mass diag + tangent blocks from cached F.
-    F_g = F[e_ids]  # (M, I, Q, 3, 3)
-    Kb = system.material.tangent_diag_block(F_g, gN)  # (M, I, Q, 3, 3)
-    H = jnp.einsum("miqde,miq->mde", Kb, dV_g * dt)
-    eye = jnp.eye(3, dtype=v.dtype)
-    H = H + (structures.m_diag[nodes] * inv_h)[:, None, None] * eye
-
-    # ---- pin constraints.
-    cons = system.constraints
-    if cons is not None:
-        k = structures.fixed_map[nodes]  # (M,)
-        pinned = k >= 0
-        ks = jnp.where(pinned, k, 0)
-        x_node = x_prev[nodes] + dt * v[nodes]
-        c = x_node - cons.target[ks]
-        lam_k = lam[ks]
-        r = r + jnp.where(pinned[:, None], dt * (lam_k + params.rho * c), 0.0)
-        H = H + jnp.where(pinned[:, None, None], dt * dt * params.rho * eye, 0.0)
-
-    # ---- symmetrize + trace-scaled regularization (SyncedVBD.cu:355-369).
-    H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
-    tr = H[..., 0, 0] + H[..., 1, 1] + H[..., 2, 2]
-    eps_reg = params.hess_eps * jnp.maximum(1.0, tr)
-    H = H + eps_reg[:, None, None] * eye
-
-    dv = -solve3x3(H, r, eps=1e-30)  # (M, 3)
-    dv = jnp.where(nmask[:, None], params.omega * dv, 0.0)
-
-    v = v.at[nodes].add(dv)
-    # Re-scatter may hit padded node 0 with zero dv — harmless.
-    x_nodes = x_prev[nodes] + dt * v[nodes]
-    x = x_prev + dt * v  # cheap full refresh keeps x consistent everywhere
-    del x_nodes
-    return v, x
-
-
 def _step_impl(system: System, structures: VBDStructures, params: VBDParams, state: StepState, f_ext):
-    elems = system.elems
     cons = system.constraints
     dt = params.dt
+    eye = jnp.eye(3, dtype=state.v.dtype)
 
-    def sweep(v, x_prev, v_prev, lam, f_ext):
+    def g_of(v, x_prev, v_prev, lam):
+        return grad_L(v, x_prev, v_prev, lam, f_ext, dt, params.rho, system)
+
+    def sweep(v, x_prev, v_prev, lam, blocks):
         """One full inner sweep over all color groups."""
-        x = x_prev + dt * v
-        for g in range(structures.n_groups):
-            # Refresh cached stress once per group (reference:
-            # vbd_compute_p per group, SyncedVBD.cu:1255-1285).
-            F = deformation_gradient(x, elems)
-            P = total_piola(x, v, elems, system.material)
 
-            def color_body(s, carry):
-                v, x = carry
+        def group_body(g, v):
+            # Residual refreshed once per group (stress + mass + constraint
+            # terms all current as of group start).
+            grad = g_of(v, x_prev, v_prev, lam)
+
+            def color_body(s, v):
                 nodes = structures.color_nodes[g, s]
                 nmask = structures.color_mask[g, s]
-                return _color_update(
-                    v, x_prev, v_prev, lam, f_ext, F, P, nodes, nmask,
-                    structures, params, system,
-                )
+                r = grad[nodes]  # (M, 3)
+                H = blocks[nodes]
+                tr = H[..., 0, 0] + H[..., 1, 1] + H[..., 2, 2]
+                H = H + (params.hess_eps * jnp.maximum(1.0, tr))[:, None, None] * eye
+                dv = -params.omega * solve3x3(H, r, eps=1e-30)
+                dv = jnp.where(nmask[:, None], dv, 0.0)
+                return v.at[nodes].add(dv)
 
-            v, x = jax.lax.fori_loop(
-                0, structures.group_size, color_body, (v, x)
-            )
-        return v, x
+            return jax.lax.fori_loop(0, structures.group_size, color_body, v)
 
-    def inner(v0, x_prev, v_prev, lam, f_ext):
-        def g_of(v):
-            return grad_L(v, x_prev, v_prev, lam, f_ext, dt, params.rho, system)
+        return jax.lax.fori_loop(0, structures.n_groups, group_body, v)
+
+    def inner(v0, x_prev, v_prev, lam):
+        # Frozen SPD diagonal blocks for the whole inner solve (the
+        # reference re-extracts them from cached F per sweep; freshness
+        # barely affects the fixed point, which is g = 0 regardless).
+        blocks = precond_blocks(v0, x_prev, dt, params.rho, system)
 
         def cond(carry):
             _, k, done = carry
@@ -209,9 +129,11 @@ def _step_impl(system: System, structures: VBDStructures, params: VBDParams, sta
 
         def body(carry):
             v, k, done = carry
-            v, _ = sweep(v, x_prev, v_prev, lam, f_ext)
+            v = sweep(v, x_prev, v_prev, lam, blocks)
             check = (k % params.convergence_check_interval) == 0
-            norm_g = jnp.where(check, flat_norm(g_of(v)), jnp.inf)
+            norm_g = jnp.where(
+                check, flat_norm(g_of(v, x_prev, v_prev, lam)), jnp.inf
+            )
             done = jnp.logical_or(done, norm_g < params.inner_tol)
             return (v, k + 1, done)
 
@@ -223,7 +145,7 @@ def _step_impl(system: System, structures: VBDStructures, params: VBDParams, sta
 
         def outer_body(carry):
             v, v_prev, lam, k, _, sweeps_tot = carry
-            v, n_sweeps = inner(v, x_prev, v_prev, lam, f_ext)
+            v, n_sweeps = inner(v, x_prev, v_prev, lam)
             v_prev = v
             if cons is not None:
                 c = cons.eval_c(x_prev + dt * v)
