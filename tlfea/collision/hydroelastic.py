@@ -55,12 +55,17 @@ class HydroelasticCollision:
         margin: float = 0.0,
         enable_self_collision: bool = False,
         dense_cross_cap: int = 16_000_000,
+        broadphase: str = "auto",
+        rest_nodes: np.ndarray | None = None,
+        cell_cap: int | None = None,
     ):
         self._init_args = dict(
             conn=np.asarray(conn), mesh_ids=np.asarray(mesh_ids),
             pressures=np.asarray(pressures), window=window, max_pairs=max_pairs,
             margin=margin, enable_self_collision=enable_self_collision,
-            dense_cross_cap=dense_cross_cap,
+            dense_cross_cap=dense_cross_cap, broadphase=broadphase,
+            rest_nodes=None if rest_nodes is None else np.asarray(rest_nodes),
+            cell_cap=cell_cap,
         )
         self.bp: BroadphaseSetup = setup_broadphase(
             conn, mesh_ids, window=window, margin=margin
@@ -68,21 +73,42 @@ class HydroelasticCollision:
         self.pressures = jnp.asarray(pressures)
         self.enable_self_collision = bool(enable_self_collision)
 
-        # Broadphase strategy: without self-collision, an exact dense
-        # cross-mesh test is robust to mixed element sizes (where the
-        # sweep window fails — see setup_dense_cross); fall back to
-        # sweep-and-prune when self-collision is on or the cross-pair count
-        # is too large.
+        # Broadphase strategy ("auto"):
+        # - self-collision on  -> uniform grid hash when rest_nodes are
+        #   given (exact 27-cell neighborhoods, static shapes; the sweep
+        #   window degenerates on dense self-contact), else sweep-and-prune;
+        # - self-collision off -> exact dense cross-mesh AABB test when the
+        #   cross-pair count fits (robust to mixed element sizes), else SAP.
         self.cross_pairs = None
-        if not enable_self_collision:
-            cp = setup_dense_cross(conn, mesh_ids)
-            if cp is not None and cp.shape[0] <= dense_cross_cap:
-                self.cross_pairs = cp
+        self.grid = None
+        mode = broadphase
+        if mode == "auto":
+            if enable_self_collision:
+                mode = "grid" if rest_nodes is not None else "sap"
+            else:
+                cp = setup_dense_cross(conn, mesh_ids)
+                if cp is not None and cp.shape[0] <= dense_cross_cap:
+                    self.cross_pairs = cp
+                    mode = "dense"
+                else:
+                    mode = "sap"
+        elif mode == "dense":
+            self.cross_pairs = setup_dense_cross(conn, mesh_ids)
+            if self.cross_pairs is None:
+                raise ValueError("broadphase='dense' needs >=2 meshes")
+        if mode == "grid":
+            if rest_nodes is None:
+                raise ValueError("broadphase='grid' requires rest_nodes= for cell sizing")
+            from tlfea.collision.gridhash import setup_grid
+
+            self.grid = setup_grid(rest_nodes, conn, cell_cap=cell_cap, margin=margin)
+        self.mode = mode
 
         bp = self.bp
         self_col = self.enable_self_collision
         pressures_dev = self.pressures
         cross_pairs = self.cross_pairs
+        grid = self.grid
 
         # Phases are compiled SEPARATELY: measured on TPU, one fused jit of
         # the whole pipeline ran 2.6x slower than the four phase programs
@@ -92,6 +118,10 @@ class HydroelasticCollision:
         def _broad(x):
             if cross_pairs is not None:
                 pairs, valid, win_overflow = find_pairs_dense(bp, x, cross_pairs)
+            elif grid is not None:
+                from tlfea.collision.gridhash import find_pairs_grid
+
+                pairs, valid, win_overflow = find_pairs_grid(bp, grid, x, self_col)
             else:
                 pairs, valid, win_overflow = find_pairs(bp, x, self_col)
             pairs, valid, cap_overflow = compact_pairs(pairs, valid, max_pairs)
@@ -139,4 +169,6 @@ class HydroelasticCollision:
         args = dict(self._init_args)
         args["window"] = args["window"] * factor
         args["max_pairs"] = args["max_pairs"] * factor
+        if self.grid is not None:
+            args["cell_cap"] = self.grid.cell_cap * factor
         return HydroelasticCollision(**args)

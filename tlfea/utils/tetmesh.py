@@ -183,3 +183,52 @@ def surface_triangles_t10(conn: np.ndarray) -> np.ndarray:
                 faces[key] = tri
     out = [tri for tri in faces.values() if tri is not None]
     return np.asarray(out, dtype=np.int64).reshape(-1, 3)
+
+
+def hairpin_t10_mesh(
+    leg: float = 0.4,
+    gap: float = 0.08,
+    width: float = 0.05,
+    thick: float = 0.05,
+    nx: int = 24,
+    ny: int = 1,
+    nz: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hairpin (180-degree folded) T10 beam for SELF-contact scenarios.
+
+    A straight box beam is isometrically bent around a half-cylinder so its
+    two legs run parallel, surfaces separated by `gap`. Clamping the lower
+    leg's free end and letting gravity close the gap produces self-contact
+    between topologically-distant elements of ONE mesh — the case the
+    reference's neighbor-filtered self-collision path exists for
+    (`HydroelasticBroadphaseFunc.cuh:105-133`).
+
+    Returns (nodes (N, 3), conn (E, 10)); the lower leg's free end is at
+    x = leg (clamp `nodes[:, 0] > leg - eps`... the fold is at x ~ 0).
+    """
+    r = 0.5 * (gap + thick)  # centerline turn radius
+    arc = np.pi * r
+    L = 2 * leg + arc
+    nodes, conn = box_t10_mesh(L, width, thick, nx, ny, nz)
+    s = nodes[:, 0]
+    y = nodes[:, 1]
+    d = nodes[:, 2] - 0.5 * thick  # offset from centerline
+    s1, s2 = leg, leg + arc
+    # Tangent-frame map p(s, y, d) = c(s) + y yhat + d n(s): every cross
+    # section is ROTATED (never mirrored), so orientation and detJ > 0 are
+    # preserved; along the turn the axial scale is (1 - d/r) > 0.
+    out = np.empty_like(nodes)
+    m = s <= s1  # lower leg: c=(s,0,0), n=+z
+    out[m, 0] = s[m]
+    out[m, 1] = y[m]
+    out[m, 2] = d[m]
+    m = (s > s1) & (s < s2)  # turn: half circle, c=(s1+r sin, 0, r-r cos)
+    phi = (s[m] - s1) / r
+    out[m, 0] = s1 + (r - d[m]) * np.sin(phi)
+    out[m, 1] = y[m]
+    out[m, 2] = r - (r - d[m]) * np.cos(phi)
+    m = s >= s2  # upper leg: c=(s1-(s-s2), 0, 2r), n=-z
+    out[m, 0] = s1 - (s[m] - s2)
+    out[m, 1] = y[m]
+    out[m, 2] = 2 * r - d[m]
+    return out, conn
