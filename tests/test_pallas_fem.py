@@ -100,3 +100,47 @@ def test_with_pallas_rejects_non_svk(setup):
     )
     with pytest.raises(ValueError):
         pallas_fem.with_pallas(system)
+
+
+def test_specialized_hv_matches_linearize(setup):
+    """`g_and_hvp` (primal+prep kernel, specialized tangent kernel) must equal
+    jax.linearize(grad_L) — same gradient, same Hessian-vector products —
+    with and without pins and Kelvin-Voigt damping."""
+    from tlfea.solvers.common import grad_L
+
+    nodes, conn, elems, mat = setup
+    rng = np.random.default_rng(2)
+    dtype = np.float32
+    mats = [mat, SVK(lam=mat.lam, mu=mat.mu, eta_damp=jnp.asarray(dtype(0)), lam_damp=jnp.asarray(dtype(0)))]
+    conss = [None, FixedCoefs.from_indices(np.nonzero(nodes[:, 0] < 1e-9)[0], nodes)]
+    for m in mats:
+        for cons in conss:
+            system = System(elems=elems, material=m, constraints=cons)
+            psystem = pallas_fem.with_pallas(system, interpret=True)
+            x_prev = jnp.asarray(nodes + 0.01 * rng.standard_normal(nodes.shape).astype(dtype))
+            v_prev = jnp.asarray(rng.standard_normal(nodes.shape).astype(dtype))
+            v = jnp.asarray(rng.standard_normal(nodes.shape).astype(dtype))
+            p = jnp.asarray(rng.standard_normal(nodes.shape).astype(dtype))
+            f_ext = jnp.asarray(rng.standard_normal(nodes.shape).astype(dtype))
+            lam_d = (
+                jnp.zeros((0,), dtype)
+                if cons is None
+                else jnp.asarray(rng.standard_normal((len(cons.idx), 3)).astype(dtype))
+            )
+            dt, rho = dtype(1e-3), dtype(1e6)
+
+            def g_of(vv, sys_=psystem):
+                return grad_L(vv, x_prev, v_prev, lam_d, f_ext, dt, rho, sys_)
+
+            g_ref, hvp_ref = jax.linearize(g_of, v)
+            g_got, hvp_got = pallas_fem.g_and_hvp(
+                v, x_prev, v_prev, lam_d, f_ext, dt, rho, psystem
+            )
+            gs = float(jnp.abs(g_ref).max())
+            assert float(jnp.abs(g_got - g_ref).max()) / gs < 1e-5
+            h_ref = hvp_ref(p)
+            h_got = hvp_got(p)
+            hs = float(jnp.abs(h_ref).max())
+            assert float(jnp.abs(h_got - h_ref).max()) / hs < 1e-4, (
+                f"damped={float(m.eta_damp)!r} cons={type(cons).__name__}"
+            )

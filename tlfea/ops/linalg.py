@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["det3x3", "solve3x3", "inv_transpose3x3"]
+__all__ = ["det3x3", "solve3x3", "inv3x3", "inv_transpose3x3"]
 
 
 def det3x3(a: jnp.ndarray) -> jnp.ndarray:
@@ -50,6 +50,19 @@ def solve3x3(a: jnp.ndarray, b: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
         det = jnp.where(jnp.abs(det) < eps, jnp.where(det >= 0, eps, -eps), det)
     adj = _adjugate3x3(a)
     return jnp.einsum("...ij,...j->...i", adj, b) / det[..., None]
+
+
+def inv3x3(a: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Inverse of (..., 3, 3) via the adjugate, with sign-preserving det clamp.
+
+    Precomputing the inverse turns a per-CG-iteration `solve3x3` (adjugate +
+    determinant every iteration) into a single 3x3 matvec — the block-Jacobi
+    apply is on the CG critical path (PERF_NOTES).
+    """
+    det = det3x3(a)
+    if eps:
+        det = jnp.where(jnp.abs(det) < eps, jnp.where(det >= 0, eps, -eps), det)
+    return _adjugate3x3(a) / det[..., None, None]
 
 
 def inv_transpose3x3(a: jnp.ndarray, det: jnp.ndarray | None = None, eps: float = 1e-12) -> jnp.ndarray:

@@ -75,7 +75,7 @@ def _svk_stress_rows(Du, Fdot, lam, mu, eta, lam_d):
             P[i][j] = Smat[i][j] + (
                 Du[i][0] * Smat[0][j] + Du[i][1] * Smat[1][j] + Du[i][2] * Smat[2][j]
             )
-    return P
+    return P, Smat
 
 
 def _svk_stress_tangent_rows(Du, dF, Fdot, dFdot, lam, mu, eta, lam_d):
@@ -207,7 +207,7 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, *, Q, S, lam, mu, e
         if tangent:
             P = _svk_stress_tangent_rows(Fp, F, Fdp, Fd, lam, mu, eta, lam_d)
         else:
-            P = _svk_stress_rows(F, Fd, lam, mu, eta, lam_d)
+            P, _ = _svk_stress_rows(F, Fd, lam, mu, eta, lam_d)
 
         w = dV_ref[q]
         for a in range(S):
@@ -429,6 +429,302 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
     return contrib, tpd
 
 
+def _primal_prep_body(
+    pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, prep_ref,
+    *, Q, S, lam, mu, eta, lam_d, damped,
+):
+    """Primal contribution + Hv precomputation in one pass.
+
+    Identical physics to `_body(tangent=False)`; additionally stores, per
+    quadrature point, the primal displacement gradient Du, the total second
+    Piola S0 (elastic + viscous), and (if damped) the velocity gradient Fd —
+    everything the specialized Hv tangent kernel (`_hv_body`) needs, so CG
+    iterations never recompute primal state.
+
+    prep row layout per q: [Du(9) | S0(9) | Fd(9 if damped)].
+    """
+
+    def pget(a, c):
+        return pe_ref[a * 9 + c]
+
+    def xref(a, c):
+        return xref_ref[a * 3 + c]
+
+    def gn(q, a, j):
+        return gN_ref[(q * S + a) * 3 + j]
+
+    PR = 27 if damped else 18
+    fe = [[None] * 3 for _ in range(S)]
+    for q in range(Q):
+        Du = [[None] * 3 for _ in range(3)]
+        Fd = [[None] * 3 for _ in range(3)] if damped else None
+        for i in range(3):
+            for j in range(3):
+                acc = (pget(0, i) - xref(0, i)) * gn(q, 0, j)
+                for a in range(1, S):
+                    acc = acc + (pget(a, i) - xref(a, i)) * gn(q, a, j)
+                Du[i][j] = acc
+                if damped:
+                    accv = pget(0, 3 + i) * gn(q, 0, j)
+                    for a in range(1, S):
+                        accv = accv + pget(a, 3 + i) * gn(q, a, j)
+                    Fd[i][j] = accv
+
+        P, S0 = _svk_stress_rows(Du, Fd, lam, mu, eta, lam_d)
+
+        for i in range(3):
+            for j in range(3):
+                prep_ref[q * PR + i * 3 + j] = Du[i][j]
+                prep_ref[q * PR + 9 + i * 3 + j] = S0[i][j]
+                if damped:
+                    prep_ref[q * PR + 18 + i * 3 + j] = Fd[i][j]
+
+        w = dV_ref[q]
+        for a in range(S):
+            for i in range(3):
+                c = (P[i][0] * gn(q, a, 0) + P[i][1] * gn(q, a, 1) + P[i][2] * gn(q, a, 2)) * w
+                fe[a][i] = c if fe[a][i] is None else fe[a][i] + c
+
+    for a in range(S):
+        for i in range(3):
+            acc = fe[a][i]
+            for b in range(S):
+                acc = acc + Me_ref[a * S + b] * pget(b, 6 + i)
+            out_ref[a * 3 + i] = acc
+
+
+def _hv_body(
+    dt_ref, pT_ref, prep_ref, gN_ref, dV_ref, Me_ref, out_ref,
+    *, Q, S, lam, mu, eta, lam_d, damped,
+):
+    """Specialized Hessian-vector product element kernel.
+
+    Directional derivative of the ALM element contribution along velocity
+    direction p, using the chain dx = dt p, dv = p, d(dv/dt) = p/dt:
+
+        dF    = dt G,  G = sum_a p_a (x) gradN_a
+        dE    = dt sym2(G, Du),  sym2(G, D) = (G + G^T + G^T D + D^T G)/2
+        dEdot = sym2(G, Du) + dt (Fd^T G + G^T Fd)/2
+        dS    = lam tr(dE) I + 2 mu dE + lam_d tr(dEdot) I + 2 eta dEdot
+        dP    = dt G S0 + (I + Du) dS
+        out_a = sum_q dP gradN_qa dV_q + (1/dt) Me p
+
+    Exactly the linearization `_svk_stress_tangent_rows` computes, but with
+    the primal (Du, S0, Fd) read from the prep buffer instead of recomputed
+    per CG iteration, and only ONE gradient contraction (G) instead of four.
+    Inputs: dt (1,1) SMEM scalar; pT (S*3 rows) the gathered raw direction.
+    """
+
+    dt = dt_ref[0, 0]
+    inv_dt = 1.0 / dt
+    PR = 27 if damped else 18
+
+    def pget(a, c):
+        return pT_ref[a * 3 + c]
+
+    def gn(q, a, j):
+        return gN_ref[(q * S + a) * 3 + j]
+
+    fe = [[None] * 3 for _ in range(S)]
+    for q in range(Q):
+        Du = [[prep_ref[q * PR + i * 3 + j] for j in range(3)] for i in range(3)]
+        S0 = [[prep_ref[q * PR + 9 + i * 3 + j] for j in range(3)] for i in range(3)]
+        Fd = (
+            [[prep_ref[q * PR + 18 + i * 3 + j] for j in range(3)] for i in range(3)]
+            if damped
+            else None
+        )
+        G = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                acc = pget(0, i) * gn(q, 0, j)
+                for a in range(1, S):
+                    acc = acc + pget(a, i) * gn(q, a, j)
+                G[i][j] = acc
+
+        # sym2 = (G + G^T + G^T Du + Du^T G)/2 — shared by dE and dEdot.
+        sym2 = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                s = G[i][j] + G[j][i]
+                for k in range(3):
+                    s = s + G[k][i] * Du[k][j] + Du[k][i] * G[k][j]
+                sym2[i][j] = 0.5 * s
+        tr_sym2 = sym2[0][0] + sym2[1][1] + sym2[2][2]
+
+        # dS = dt (lam tr I + 2 mu) sym2  [elastic]
+        dS = [[(2.0 * mu * dt) * sym2[i][j] for j in range(3)] for i in range(3)]
+        for i in range(3):
+            dS[i][i] = dS[i][i] + (lam * dt) * tr_sym2
+
+        if damped:
+            # dEdot = sym2 + dt (Fd^T G + G^T Fd)/2
+            trX = None
+            for i in range(3):
+                for j in range(3):
+                    xx = sum(Fd[k][i] * G[k][j] + G[k][i] * Fd[k][j] for k in range(3))
+                    dEd = sym2[i][j] + (0.5 * dt) * xx
+                    dS[i][j] = dS[i][j] + (2.0 * eta) * dEd
+                    if i == j:
+                        trX = dEd if trX is None else trX + dEd
+            for i in range(3):
+                dS[i][i] = dS[i][i] + lam_d * trX
+
+        # dP = dt G S0 + dS + Du dS
+        dP = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                s = dS[i][j]
+                for k in range(3):
+                    s = s + dt * G[i][k] * S0[k][j] + Du[i][k] * dS[k][j]
+                dP[i][j] = s
+
+        w = dV_ref[q]
+        for a in range(S):
+            for i in range(3):
+                c = (dP[i][0] * gn(q, a, 0) + dP[i][1] * gn(q, a, 1) + dP[i][2] * gn(q, a, 2)) * w
+                fe[a][i] = c if fe[a][i] is None else fe[a][i] + c
+
+    for a in range(S):
+        for i in range(3):
+            acc = None
+            for b in range(S):
+                t = Me_ref[a * S + b] * pget(b, i)
+                acc = t if acc is None else acc + t
+            out_ref[a * 3 + i] = fe[a][i] + inv_dt * acc
+
+
+def make_hv_kernels(elems, material, dtype=np.float32, interpret=False):
+    """Build (primal_prep_fn, hv_fn, n_prep_rows) for the specialized
+    Newton-PCG Hessian-vector path (SVK + Kelvin-Voigt).
+
+    primal_prep_fn(pe_T (S*9, B, L)) -> (out_T (S*3, B, L), prep_T (PR, B, L))
+    hv_fn(dt (1,1), p_T (S*3, B, L), prep_T) -> dout_T (S*3, B, L)
+    """
+    tpd = prepare_tp(elems, dtype=dtype)
+    Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
+    n_blocks = E_pad // EBLK
+    lam = float(material.lam)
+    mu = float(material.mu)
+    eta = float(material.eta_damp)
+    lam_d = float(material.lam_damp)
+    damped = (eta != 0.0) or (lam_d != 0.0)
+    PR = Q * (27 if damped else 18)
+
+    pp_body = partial(
+        _primal_prep_body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
+        damped=damped,
+    )
+    hv_body = partial(
+        _hv_body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
+    )
+
+    def primal_prep_fn(pe_T):
+        B = pe_T.shape[1]
+        outs = [
+            jax.ShapeDtypeStruct((S * 3, B, LANE), pe_T.dtype),
+            jax.ShapeDtypeStruct((PR, B, LANE), pe_T.dtype),
+        ]
+        ins = [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"], tpd["xref_T"]]
+        in_specs = [
+            pl.BlockSpec((a.shape[0], SUB, LANE), lambda b, r=a.shape[0]: (0, b, 0))
+            for a in ins
+        ]
+        out_specs = [
+            pl.BlockSpec((S * 3, SUB, LANE), lambda b: (0, b, 0)),
+            pl.BlockSpec((PR, SUB, LANE), lambda b: (0, b, 0)),
+        ]
+        return pl.pallas_call(
+            lambda *refs: pp_body(*refs),
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=outs,
+            interpret=interpret,
+        )(*ins)
+
+    def hv_fn(dt_arr, p_T, prep_T):
+        B = p_T.shape[1]
+        ins = [dt_arr, p_T, prep_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]]
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+        ] + [
+            pl.BlockSpec((a.shape[0], SUB, LANE), lambda b, r=a.shape[0]: (0, b, 0))
+            for a in ins[1:]
+        ]
+        return pl.pallas_call(
+            lambda *refs: hv_body(*refs),
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((S * 3, SUB, LANE), lambda b: (0, b, 0)),
+            out_shape=jax.ShapeDtypeStruct((S * 3, B, LANE), p_T.dtype),
+            interpret=interpret,
+        )(*ins)
+
+    return primal_prep_fn, hv_fn, PR
+
+
+def _to_tiles(mat, E, E_pad):
+    """(rows, E) -> (rows, E_pad//LANE, LANE) zero-padded tile layout."""
+    return jnp.pad(mat, ((0, 0), (0, E_pad - E))).reshape(
+        mat.shape[0], E_pad // LANE, LANE
+    )
+
+
+def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system):
+    """ALM gradient + linear Hessian-vector operator via the specialized
+    Pallas kernels: the primal pass stores per-QP (Du, S0, Fd) so each CG
+    Hv costs ONE (E,S,3) gather + one tangent kernel + one scatter — no
+    primal recompute, no tangent/primal concat (the round-1 custom-jvp path
+    gathered 9 channels and re-derived F, Fdot per iteration).
+
+    FixedCoefs (or no) constraints only; the caller falls back to
+    `jax.linearize(grad_L)` otherwise. Matches `grad_L` exactly.
+    """
+    from tlfea.constraints import FixedCoefs
+
+    elems = system.elems
+    tpd = system.pallas
+    S, E, E_pad = tpd.S, tpd.E, tpd.E_pad
+    n = x_prev.shape[0]
+    cons = system.constraints
+    x = x_prev + dt * v
+    dtype = v.dtype
+
+    packed = jnp.concatenate([x, v, (v - v_prev) / dt], axis=1)  # (n, 9)
+    pe = packed[elems.conn]  # (E, S, 9)
+    peT = _to_tiles(jnp.transpose(pe, (1, 2, 0)).reshape(S * 9, E), E, E_pad)
+    outT, prepT = tpd.prep_fn(peT)
+    out = outT.reshape(S, 3, E_pad)[:, :, :E]
+    contrib_e = jnp.transpose(out, (2, 0, 1))  # (E, S, 3)
+    idx = elems.conn.reshape(-1)
+    vals = contrib_e.reshape(-1, 3)
+    if isinstance(cons, FixedCoefs):
+        c = x[cons.idx] - cons.target
+        idx = jnp.concatenate([idx, cons.idx])
+        vals = jnp.concatenate([vals, dt * (lam_dual + rho * c)], axis=0)
+    g = jnp.zeros((n, 3), dtype=dtype).at[idx].add(vals) - f_ext
+
+    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+
+    def hvp(p):
+        pT = _to_tiles(
+            jnp.transpose(p[elems.conn], (1, 2, 0)).reshape(S * 3, E), E, E_pad
+        )
+        doutT = tpd.hv_fn(dt_arr, pT, prepT)
+        dout = doutT.reshape(S, 3, E_pad)[:, :, :E]
+        dvals = jnp.transpose(dout, (2, 0, 1)).reshape(-1, 3)
+        didx = elems.conn.reshape(-1)
+        if isinstance(cons, FixedCoefs):
+            didx = jnp.concatenate([didx, cons.idx])
+            dvals = jnp.concatenate(
+                [dvals, (dt * dt * rho) * p[cons.idx]], axis=0
+            )
+        return jnp.zeros((n, 3), dtype=dtype).at[didx].add(dvals)
+
+    return g, hvp
+
+
 class PallasContrib:
     """Static handle bundling the custom-jvp kernel with its layout metadata.
 
@@ -436,12 +732,15 @@ class PallasContrib:
     build once per system (e.g. via `with_pallas`).
     """
 
-    def __init__(self, fn, S: int, E: int, E_pad: int, precond_fn=None):
+    def __init__(self, fn, S: int, E: int, E_pad: int, precond_fn=None,
+                 prep_fn=None, hv_fn=None):
         self.fn = fn
         self.S = S
         self.E = E
         self.E_pad = E_pad
         self.precond_fn = precond_fn
+        self.prep_fn = prep_fn  # primal contribution + per-QP Hv prep
+        self.hv_fn = hv_fn  # specialized tangent kernel
 
     def __getitem__(self, key):  # dict-compat for tpd-style access
         return getattr(self, key if key != "E_pad" else "E_pad")
@@ -460,7 +759,13 @@ def with_pallas(system, dtype=np.float32, interpret=False):
     pfn, _ = make_precond_blocks(
         system.elems, system.material, dtype=dtype, interpret=interpret
     )
-    handle = PallasContrib(contrib, tpd["S"], tpd["E"], tpd["E_pad"], precond_fn=pfn)
+    prep_fn, hv_fn, _ = make_hv_kernels(
+        system.elems, system.material, dtype=dtype, interpret=interpret
+    )
+    handle = PallasContrib(
+        contrib, tpd["S"], tpd["E"], tpd["E_pad"], precond_fn=pfn,
+        prep_fn=prep_fn, hv_fn=hv_fn,
+    )
     return system.replace(pallas=handle)
 
 

@@ -134,7 +134,7 @@ class CoarsePrecond:
 
     Agg: jnp.ndarray  # (na, n) one-hot aggregation, f32
     u0: jnp.ndarray  # (n, 3) lever arms about aggregate centroids
-    chol: jnp.ndarray  # (k, k) lower Cholesky factor of A_c
+    Ainv: jnp.ndarray  # (k, k) explicit inverse of A_c (dense, SPD)
     rotations: bool = struct.field(pytree_node=False)
     n_agg: int = struct.field(pytree_node=False)
 
@@ -155,9 +155,12 @@ class CoarsePrecond:
         return z
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        # Explicit-inverse matmul, not a triangular solve: cho_solve
+        # serializes on TPU (k sequential steps); a (k, k) matvec rides the
+        # MXU. The inverse is fine numerically here — A_c is regularized SPD
+        # and this is only a preconditioner.
         rhs = self.restrict(r)
-        w = jax.scipy.linalg.cho_solve((self.chol, True), rhs)
-        return self.prolong(w)
+        return self.prolong(self.Ainv @ rhs)
 
 
 def _phi(u0_e, rotations: bool):
@@ -269,12 +272,13 @@ def build_coarse_precond(
     Ad = jnp.transpose(Ac, (0, 2, 1, 3)).reshape(K, K)
     diag_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(Ad))), 1e-30)
     Ad = 0.5 * (Ad + Ad.T) + (1e-5 * diag_scale) * jnp.eye(K, dtype=Ad.dtype)
-    chol = jax.scipy.linalg.cho_factor(Ad, lower=True)[0]
+    chol = jax.scipy.linalg.cho_factor(Ad, lower=True)
+    Ainv = jax.scipy.linalg.cho_solve(chol, jnp.eye(K, dtype=Ad.dtype))
 
     return CoarsePrecond(
         Agg=jnp.asarray(Aggd),
         u0=u0_d,
-        chol=chol,
+        Ainv=Ainv,
         rotations=rotations,
         n_agg=na,
     )

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from tlfea.ops.linalg import solve3x3
+from tlfea.ops.linalg import inv3x3
 from tlfea.solvers.common import StepState, System, grad_L, precond_blocks, flat_norm
 
 __all__ = ["NewtonParams", "step", "make_step"]
@@ -103,10 +103,29 @@ def _pcg(hvp, precond, b, rtol, max_iter):
 
 def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: System, coarse=None):
     """Inner Newton loop at fixed duals; returns (v, iters, ||g||)."""
+    from tlfea.constraints import FixedCoefs
+
     dt, rho = params.dt, params.rho
 
     def g_of(v):
         return grad_L(v, x_prev, v_prev, lam, f_ext, dt, rho, system)
+
+    # Specialized Pallas Hv path: the primal pass caches per-QP (Du, S0, Fd)
+    # so each CG Hessian-vector product is one (E,S,3) gather + one tangent
+    # kernel + one scatter (no primal recompute / 9-channel tangent pack —
+    # see `pallas_fem.g_and_hvp`). Falls back to jax.linearize otherwise.
+    use_pallas_hv = (
+        system.pallas is not None
+        and getattr(system.pallas, "hv_fn", None) is not None
+        and (system.constraints is None or isinstance(system.constraints, FixedCoefs))
+    )
+
+    def linearize_g(v):
+        if use_pallas_hv:
+            from tlfea.ops.pallas_fem import g_and_hvp
+
+            return g_and_hvp(v, x_prev, v_prev, lam, f_ext, dt, rho, system)
+        return jax.linearize(g_of, v)
 
     # Frozen block-Jacobi preconditioner: assembled once per inner solve at
     # the incoming iterate (tangent blocks are the most expensive single
@@ -114,12 +133,19 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     # reference's cuDSS analog is REFACTORIZATION reuse
     # (`SyncedNewton.cu:1101-1108`).
     blocks0 = precond_blocks(v0, x_prev, dt, rho, system)
+    # Invert once per inner solve: the block-Jacobi apply sits on the CG
+    # critical path, and a 3x3 matvec per iteration beats re-running the
+    # adjugate solve every iteration.
+    inv_blocks0 = inv3x3(blocks0, eps=1e-30)
+
+    def bj_apply(r):
+        return jnp.einsum("nij,nj->ni", inv_blocks0, r)
 
     if coarse is not None and hasattr(coarse, "apply"):
         # Frozen two-level correction (CoarsePrecond): matmul-based apply,
         # no per-solve assembly (see tlfea.solvers.coarse).
         def precond(r):
-            return solve3x3(blocks0, r, eps=1e-30) + coarse.apply(r)
+            return bj_apply(r) + coarse.apply(r)
 
     elif coarse is not None:
         # Legacy per-solve Galerkin assembly (CoarseSetup): exact at the
@@ -133,9 +159,7 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         chol = jax.scipy.linalg.cho_factor(Ac, lower=True)[0]
         precond = make_two_level_precond(blocks0, chol, coarse)
     else:
-
-        def precond(r):
-            return solve3x3(blocks0, r, eps=1e-30)
+        precond = bj_apply
 
     tiny = jnp.asarray(jnp.finfo(v0.dtype).tiny, v0.dtype)
 
@@ -148,7 +172,7 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         # One primal gradient evaluation per Newton iteration; CG applies its
         # tangent-only linearization (the round-1 jvp path recomputed the
         # full primal residual inside every Hessian-vector product).
-        g, hvp = jax.linearize(g_of, v)
+        g, hvp = linearize_g(v)
         norm_g_new = flat_norm(g)
         norm_g0 = jnp.where(k == 0, norm_g_new, norm_g0)
         # Per-iteration ||g|| telemetry (the reference prints these every
