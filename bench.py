@@ -90,12 +90,21 @@ def run_scale(name, rollout=20):
         print(f"[{name}] pallas path unavailable ({type(e).__name__}); XLA path",
               file=sys.stderr)
 
-    @jax.jit
-    def roll(s, f):
-        def body(c, _):
-            ns, d = _step(system, c, params, f)
-            return ns, (d["newton_iters"], d["cg_iters"])
-        return jax.lax.scan(body, s, None, length=rollout)
+    # Production rollout config (benchmarks/profile_rollout.py sweep):
+    # frozen rotation-enriched coarse correction (CG 29 -> 8 per Newton) +
+    # block-Jacobi refreshed every 8 steps (assembly amortized; staleness
+    # only affects CG counts, never the converged solution).
+    from tlfea.solvers.coarse import build_coarse_precond
+
+    try:
+        coarse = build_coarse_precond(system, state.x, float(params.dt),
+                                      float(params.rho))
+    except Exception as e:  # pragma: no cover
+        print(f"[{name}] coarse precond unavailable ({type(e).__name__})",
+              file=sys.stderr)
+        coarse = None
+    roll = newton.make_rollout(system, params, rollout, coarse=coarse,
+                               precond_refresh=8)
 
     s, (nit, cgit) = roll(state, f_ext)  # compile + warm (settles transients)
     jax.block_until_ready(s)

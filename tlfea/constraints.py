@@ -48,6 +48,13 @@ class FixedCoefs:
         """Constraint values, shape (C, 3)."""
         return x[self.idx] - self.target
 
+    def eval_c_u(self, u: jnp.ndarray, x_ref: jnp.ndarray) -> jnp.ndarray:
+        """c from displacements u = x - x_ref, grouped for f32 precision:
+        c = u[idx] - (target - x_ref[idx]) — the parenthesized term is
+        displacement-scale, so tiny dt*v increments inside u are never
+        rounded against coordinate-scale values."""
+        return u[self.idx] - (self.target - x_ref[self.idx])
+
     def apply_jt(self, y: jnp.ndarray, n_coef: int) -> jnp.ndarray:
         """J^T @ y for y of shape (C, 3) -> (n_coef, 3)."""
         out = jnp.zeros((n_coef, 3), dtype=y.dtype)
@@ -87,6 +94,17 @@ class LinearConstraints:
         xf = x.reshape(-1)
         contrib = self.vals * xf[self.cols]
         return jnp.zeros((self.n_rows,), dtype=x.dtype).at[self.rows].add(contrib) - self.b
+
+    def eval_c_u(self, u: jnp.ndarray, x_ref: jnp.ndarray) -> jnp.ndarray:
+        """c from displacements: J u + (J x_ref - b). The constant part is
+        evaluated at coordinate scale once; the J u part carries the tiny
+        solver increments at full f32 resolution."""
+        return self._apply_j(u) + (self._apply_j(x_ref) - self.b)
+
+    def _apply_j(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.reshape(-1)
+        contrib = self.vals * xf[self.cols]
+        return jnp.zeros((self.n_rows,), dtype=x.dtype).at[self.rows].add(contrib)
 
     def apply_jt(self, y: jnp.ndarray, n_coef: int) -> jnp.ndarray:
         """J^T @ y for y of shape (n_rows,) -> (n_coef, 3)."""

@@ -193,4 +193,8 @@ def build_ancf_batch(
         mass_elem=jnp.asarray(Me.astype(dtype)),
         xe_ref=jnp.asarray(Xe.astype(dtype)),
         n_coef=int(coefs.shape[0]),
+        x_ref=jnp.asarray(np.asarray(coefs, dtype=np.float64).astype(dtype)),
+        # Position slots (every node's first coefficient) carry rigid
+        # translation: their shape gradients sum to exactly zero.
+        trans_mask=tuple(a % 4 == 0 for a in range(conn.shape[1])),
     )

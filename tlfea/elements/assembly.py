@@ -35,6 +35,7 @@ from tlfea.ops.segment import coef_scatter_add, gather_coefs
 
 __all__ = [
     "ElementBatch",
+    "node_ref",
     "deformation_gradient",
     "velocity_gradient",
     "viscous_piola",
@@ -68,6 +69,23 @@ class ElementBatch:
     # sum_a X_a x grad_N_a = I, which holds for every isoparametric family.)
     xe_ref: jnp.ndarray
     n_coef: int = struct.field(pytree_node=False)
+    # Node-level reference coefficient positions (n_coef, 3): x_ref[conn] ==
+    # xe_ref. The hot solver paths work in DISPLACEMENT space u = x - x_ref
+    # (node-space subtraction once per gradient) so that the f32 iterate
+    # update u_prev + dt*v resolves increments at the strain scale, not the
+    # coordinate scale — forming x = x_prev + dt*v in absolute coordinates
+    # rounds dt*v away entirely for stiff problems (dt*v ~ 1e-7 |x|) and
+    # stalls Newton. Kernels then need no reference subtract at all.
+    x_ref: jnp.ndarray | None = None
+    # Static per-slot mask of TRANSLATION coefficients: slots whose shape
+    # gradients sum to exactly zero (all slots for isoparametric FEAT10;
+    # the position slots for ANCF, whose gradient-coefficient slots carry a
+    # rigid translation as zeros). Gradient contractions may subtract one
+    # translation slot's value from the others without changing the result
+    # — "element-local centering" — which removes the rigid-motion common
+    # mode from the operands and with it the dominant f32 cancellation
+    # noise at large displacement/strain ratios (eps*|u| -> eps*|du|).
+    trans_mask: tuple | None = struct.field(pytree_node=False, default=None)
 
     @property
     def n_elem(self) -> int:
@@ -89,7 +107,22 @@ class ElementBatch:
             mass_elem=self.mass_elem.astype(dtype),
             xe_ref=self.xe_ref.astype(dtype),
             n_coef=self.n_coef,
+            x_ref=None if self.x_ref is None else self.x_ref.astype(dtype),
+            trans_mask=self.trans_mask,
         )
+
+
+def node_ref(elems: ElementBatch) -> jnp.ndarray:
+    """Node-level reference positions (n_coef, 3).
+
+    Prefers the precomputed `elems.x_ref`; falls back to a scatter from the
+    per-element `xe_ref` (each element writes the same value for a shared
+    coefficient) for batches built before the field existed.
+    """
+    if elems.x_ref is not None:
+        return elems.x_ref
+    out = jnp.zeros((elems.n_coef, 3), dtype=elems.xe_ref.dtype)
+    return out.at[elems.conn.reshape(-1)].set(elems.xe_ref.reshape(-1, 3))
 
 
 def deformation_gradient(x: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:
@@ -170,7 +203,7 @@ def internal_force(
 
 
 def alm_residual_contributions(
-    x: jnp.ndarray,
+    u: jnp.ndarray,
     v: jnp.ndarray,
     dv_dt: jnp.ndarray,
     elems: ElementBatch,
@@ -178,7 +211,10 @@ def alm_residual_contributions(
 ) -> jnp.ndarray:
     """Fused element contributions of the ALM gradient:
 
-        out = scatter( M_e @ dv_dt  +  f_int,e(x, v) )
+        out = scatter( M_e @ dv_dt  +  f_int,e(u, v) )
+
+    u: node-level DISPLACEMENTS (x - x_ref); see ElementBatch.x_ref for why
+    the hot path is displacement-based.
 
     i.e. M (v - v_prev)/h + f_int in one pass. Performance-critical: on TPU
     the dominant cost of a residual evaluation is the *number* of
@@ -188,15 +224,43 @@ def alm_residual_contributions(
     ~2x faster per evaluation than composing `mass_matvec` +
     `internal_force`.
     """
-    contrib = _element_contrib_values(x, v, dv_dt, elems, material)
+    contrib = _element_contrib_values(u, v, dv_dt, elems, material)
     return coef_scatter_add(contrib, elems.conn, elems.n_coef)  # single scatter
 
 
-def _element_contrib_values(x, v, dv_dt, elems: ElementBatch, material) -> jnp.ndarray:
-    """Per-element-slot contribution values (E, S, 3), pre-scatter."""
-    packed = jnp.concatenate([x, v, dv_dt], axis=1)  # (n_coef, 9)
+def center_translation(ae: jnp.ndarray, elems: ElementBatch) -> jnp.ndarray:
+    """Element-local centering of gathered per-slot values (E, S, k).
+
+    Subtracts the first translation slot's value from every translation
+    slot — exact (their shape gradients sum to zero, see
+    ElementBatch.trans_mask) but removes the rigid-motion common mode, so
+    downstream gradient contractions see operands at the element-relative
+    scale instead of |u|, eliminating the dominant f32 cancellation noise.
+    """
+    tm = elems.trans_mask
+    if tm is None:
+        return ae
+    r = tm.index(True)
+    mask = jnp.asarray(np.asarray(tm))  # (S,) bool
+    return ae - jnp.where(mask[None, :, None], ae[:, r : r + 1, :], 0)
+
+
+def _element_contrib_values(u, v, dv_dt, elems: ElementBatch, material,
+                            compute_dtype=None) -> jnp.ndarray:
+    """Per-element-slot contribution values (E, S, 3), pre-scatter.
+
+    u: node-level displacements — the gather yields ue directly (no xe_ref
+    subtract in the element loop).
+    compute_dtype: optional wide dtype for the element pipeline (accuracy
+    mode, see System.accum_dtype): the f32 Du contraction carries
+    eps*|rotation| noise that the modulus amplifies into a residual floor
+    ~eps*E*theta — at E=7e8 that is ~1% of a gravity load. Returns values
+    in compute_dtype so the caller's scatter accumulates wide too."""
+    packed = jnp.concatenate([u, v, dv_dt], axis=1)  # (n_coef, 9)
     pe = packed[elems.conn]  # (E, S, 9) — the single gather
-    ue = pe[..., 0:3] - elems.xe_ref  # displacements (f32-robust F)
+    if compute_dtype is not None:
+        pe = pe.astype(compute_dtype)
+    ue = center_translation(pe[..., 0:3], elems)
     dve = pe[..., 6:9]
 
     Du = jnp.einsum("eai,eqaj->eqij", ue, elems.grad_N)
@@ -206,7 +270,7 @@ def _element_contrib_values(x, v, dv_dt, elems: ElementBatch, material) -> jnp.n
         P = material.first_piola(Du + jnp.eye(3, dtype=Du.dtype))
     damped = _is_nonzero(material.eta_damp) or _is_nonzero(material.lam_damp)
     if damped:
-        ve = pe[..., 3:6]
+        ve = center_translation(pe[..., 3:6], elems)
         Fdot = jnp.einsum("eai,eqaj->eqij", ve, elems.grad_N)
         F = Du + jnp.eye(3, dtype=Du.dtype)
         P = P + viscous_piola(F, Fdot, material.eta_damp, material.lam_damp)

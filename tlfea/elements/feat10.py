@@ -135,4 +135,6 @@ def build(
         mass_elem=jnp.asarray(me.astype(dtype)),
         xe_ref=jnp.asarray(nodes[conn].astype(dtype)),
         n_coef=int(nodes.shape[0]),
+        x_ref=jnp.asarray(nodes.astype(dtype)),
+        trans_mask=(True,) * 10,  # all Lagrange slots: sum_a grad_N_a = 0
     )

@@ -39,6 +39,7 @@ __all__ = ["element_contrib", "prepare_tp", "PALLAS_OK"]
 
 SUB, LANE = 8, 128
 EBLK = SUB * LANE  # elements per grid block
+SYM6 = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]  # packed-symmetric
 
 
 def _svk_stress_rows(Du, Fdot, lam, mu, eta, lam_d):
@@ -147,13 +148,49 @@ def _svk_stress_tangent_rows(Du, dF, Fdot, dFdot, lam, mu, eta, lam_d):
     return madd(mm(dF, S0), dS, mm(Du, dS))
 
 
-def _body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, *, Q, S, lam, mu, eta, lam_d, damped, tangent):
+def _center(get, S, tmask):
+    """Element-local centering of a per-slot channel accessor (see
+    ElementBatch.trans_mask): returns centered (8,128)-tile values per
+    (slot, channel), with the reference slot's entry None (exactly zero —
+    its contraction term is skipped). Exact: translation-slot shape
+    gradients sum to zero; removes the rigid-motion common mode that
+    dominates f32 contraction noise at large displacement/strain ratios."""
+    if tmask is None:
+        return [[get(a, c) for c in range(3)] for a in range(S)]
+    r = tmask.index(True)
+    out = []
+    for a in range(S):
+        if a == r:
+            out.append([None, None, None])
+        elif tmask[a]:
+            out.append([get(a, c) - get(r, c) for c in range(3)])
+        else:
+            out.append([get(a, c) for c in range(3)])
+    return out
+
+
+def _contract(vals, gn, q, S):
+    """Du[i][j] = sum_a vals[a][i] * gn(q, a, j), skipping None (zero)."""
+    M = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            acc = None
+            for a in range(S):
+                if vals[a][i] is None:
+                    continue
+                t = vals[a][i] * gn(q, a, j)
+                acc = t if acc is None else acc + t
+            M[i][j] = acc
+    return M
+
+
+def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d, damped, tangent, tmask=None):
     """Shared kernel body. In tangent mode, pe carries tangents and gN/dV/Me
-    are the same static arrays; F/Fdot of the PRIMAL are recomputed from the
-    primal half of pe (rows S*9..S*18). F is displacement-based:
-    F = I + sum_a (x_a - X_a) x grad_N_a (float32 robustness; see
-    ElementBatch.xe_ref). Tangents of x contribute dF directly (no identity,
-    no reference shift)."""
+    are the same static arrays; Du/Fdot of the PRIMAL are recomputed from the
+    primal half of pe (rows S*9..S*18). Positions arrive as DISPLACEMENTS
+    u = x - x_ref (node-space subtraction by the caller; see
+    ElementBatch.x_ref), so Du = sum_a u_a x grad_N_a needs no reference
+    loads at all. Tangents of u contribute dF directly."""
     W = 18 if tangent else 9
 
     def pget(a, c):  # (8,128) tile for slot a, channel c of the leading half
@@ -162,47 +199,26 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, *, Q, S, lam, mu, e
     def pget2(a, c):  # second (primal) half in tangent mode
         return pe_ref[a * W + 9 + c]
 
-    def xref(a, c):
-        return xref_ref[a * 3 + c]
-
     def gn(q, a, j):
         return gN_ref[(q * S + a) * 3 + j]
 
     fe = [[None] * 3 for _ in range(S)]
+    # Centered per-slot operands, computed once outside the q loop: leading
+    # half is tangents dF (tangent mode) or displacements (primal mode) —
+    # the same contraction either way, and centering is exact for both.
+    uc = _center(pget, S, tmask)
+    vc = _center(lambda a, c: pget(a, 3 + c), S, tmask) if damped else None
+    up = _center(pget2, S, tmask) if tangent else None
+    vp = (
+        _center(lambda a, c: pget2(a, 3 + c), S, tmask)
+        if (tangent and damped)
+        else None
+    )
     for q in range(Q):
-        F = [[None] * 3 for _ in range(3)]
-        Fd = [[None] * 3 for _ in range(3)] if damped else None
-        # In tangent mode we need primal F (and Fdot) too.
-        Fp = [[None] * 3 for _ in range(3)] if tangent else None
-        Fdp = [[None] * 3 for _ in range(3)] if (tangent and damped) else None
-        for i in range(3):
-            for j in range(3):
-                if tangent:
-                    # Leading half holds tangents: dF = sum_a dx_a gn.
-                    acc = pget(0, i) * gn(q, 0, j)
-                    for a in range(1, S):
-                        acc = acc + pget(a, i) * gn(q, a, j)
-                else:
-                    # Displacement gradient Du = sum_a (x_a - X_a) gn.
-                    acc = (pget(0, i) - xref(0, i)) * gn(q, 0, j)
-                    for a in range(1, S):
-                        acc = acc + (pget(a, i) - xref(a, i)) * gn(q, a, j)
-                F[i][j] = acc
-                if damped:
-                    accv = pget(0, 3 + i) * gn(q, 0, j)
-                    for a in range(1, S):
-                        accv = accv + pget(a, 3 + i) * gn(q, a, j)
-                    Fd[i][j] = accv
-                if tangent:
-                    accp = (pget2(0, i) - xref(0, i)) * gn(q, 0, j)
-                    for a in range(1, S):
-                        accp = accp + (pget2(a, i) - xref(a, i)) * gn(q, a, j)
-                    Fp[i][j] = accp
-                    if damped:
-                        accvp = pget2(0, 3 + i) * gn(q, 0, j)
-                        for a in range(1, S):
-                            accvp = accvp + pget2(a, 3 + i) * gn(q, a, j)
-                        Fdp[i][j] = accvp
+        F = _contract(uc, gn, q, S)
+        Fd = _contract(vc, gn, q, S) if damped else None
+        Fp = _contract(up, gn, q, S) if tangent else None
+        Fdp = _contract(vp, gn, q, S) if (tangent and damped) else None
 
         if tangent:
             P = _svk_stress_tangent_rows(Fp, F, Fdp, Fd, lam, mu, eta, lam_d)
@@ -248,7 +264,6 @@ def prepare_tp(elems, dtype=np.float32):
         gN_T=jnp.asarray(tp(gN)),
         dV_T=jnp.asarray(tp(dV)),
         Me_T=jnp.asarray(tp(Me)),
-        xref_T=jnp.asarray(tp(np.asarray(elems.xe_ref, dtype=dtype))),
         E=E, E_pad=E_pad, Q=Q, S=S,
     )
 
@@ -273,39 +288,34 @@ def _pallas_call(kernel, n_out_rows, n_blocks, in_arrays, interpret=False):
 
 
 def _wrap_body(body):
-    def kernel(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref):
-        body(pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref)
+    def kernel(pe_ref, gN_ref, dV_ref, Me_ref, out_ref):
+        body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref)
 
     return kernel
 
 
-def _precond_body(pe_ref, gN_ref, dV_ref, xref_ref, out_ref, *, Q, S, lam, mu):
+def _precond_body(pe_ref, gN_ref, dV_ref, out_ref, *, Q, S, lam, mu, tmask=None):
     """Per-(element, node) SVK diagonal tangent 3x3 blocks:
 
         K_aa[d,e] = sum_q svk_tangent_block(F_q, gradN_qa) * dV_q
 
     (the closed form of `SVK.tangent_diag_block`, reference `SVK.cuh:35-55`;
     the caller applies the uniform dt weight outside the kernel). pe carries
-    x channels only (S*3 rows); out is (S*9) rows.
+    displacement channels only (S*3 rows); out is packed-symmetric (S*6).
     """
 
     def pget(a, c):
-        return pe_ref[a * 3 + c] - xref_ref[a * 3 + c]  # displacement
+        return pe_ref[a * 3 + c]  # displacement (u = x - x_ref, by caller)
 
     def gn(q, a, j):
         return gN_ref[(q * S + a) * 3 + j]
 
     acc = [[[None] * 3 for _ in range(3)] for _ in range(S)]
+    uc = _center(pget, S, tmask)
     for q in range(Q):
-        F = [[None] * 3 for _ in range(3)]
+        F = _contract(uc, gn, q, S)
         for i in range(3):
-            for j in range(3):
-                s = pget(0, i) * gn(q, 0, j)
-                for a in range(1, S):
-                    s = s + pget(a, i) * gn(q, a, j)
-                if i == j:
-                    s = s + 1.0
-                F[i][j] = s
+            F[i][i] = F[i][i] + 1.0
         trFtF = sum(F[i][j] * F[i][j] for i in range(3) for j in range(3))
         trE = 0.5 * (trFtF - 3.0)
         FFT = [
@@ -320,57 +330,73 @@ def _precond_body(pe_ref, gN_ref, dV_ref, xref_ref, out_ref, *, Q, S, lam, mu):
             FhFh = Fh[0] * Fh[0] + Fh[1] * Fh[1] + Fh[2] * Fh[2]
             diag = lam * trE * hij + mu * FhFh - mu * hij
             for d in range(3):
-                for e in range(3):
+                for e in range(d, 3):
                     K = (lam + mu) * Fh[d] * Fh[e] + mu * hij * FFT[d][e]
                     if d == e:
                         K = K + diag
                     K = K * w
                     prev = acc[a][d][e]
                     acc[a][d][e] = K if prev is None else prev + K
+    # The block is symmetric (FFT and Fh_d Fh_e are); emit the packed upper
+    # triangle only — 6 channels instead of 9 cuts the out-transpose and
+    # scatter bytes by a third (the caller unpacks after the scatter).
     for a in range(S):
-        for d in range(3):
-            for e in range(3):
-                out_ref[a * 9 + d * 3 + e] = acc[a][d][e]
+        for c, (d, e) in enumerate(SYM6):
+            out_ref[a * 6 + c] = acc[a][d][e]
 
 
 def make_precond_blocks(elems, material, dtype=np.float32, interpret=False):
     """Pallas kernel computing per-(element,node) SVK tangent diag blocks.
 
-    Returns (fn, tpd): fn(xT (S*3, B, L)) -> (S*9, B, L); the caller scatters
-    and adds mass/constraint terms (see `solvers.common.precond_blocks`).
+    Returns (fn, tpd): fn(xT (S*3, B, L)) -> (S*6, B, L) packed-symmetric
+    channels (SYM6 order); the caller scatters, unpacks, and adds
+    mass/constraint terms (see `solvers.common.precond_blocks`).
     """
     tpd = prepare_tp(elems, dtype=dtype)
     Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
     n_blocks = E_pad // EBLK
     body = partial(
-        _precond_body, Q=Q, S=S, lam=float(material.lam), mu=float(material.mu)
+        _precond_body, Q=Q, S=S, lam=float(material.lam), mu=float(material.mu),
+        tmask=elems.trans_mask,
     )
 
-    def kernel(pe_ref, gN_ref, dV_ref, xref_ref, out_ref):
-        body(pe_ref, gN_ref, dV_ref, xref_ref, out_ref)
+    def kernel(pe_ref, gN_ref, dV_ref, out_ref):
+        body(pe_ref, gN_ref, dV_ref, out_ref)
 
-    def fn(xT):
+    def fn(uT):
         return _pallas_call(
-            kernel, S * 9, n_blocks,
-            [xT, tpd["gN_T"], tpd["dV_T"], tpd["xref_T"]],
+            kernel, S * 6, n_blocks,
+            [uT, tpd["gN_T"], tpd["dV_T"]],
             interpret=interpret,
         )
 
     return fn, tpd
 
 
-def tangent_blocks(x, elems, fn, tpd, dt):
-    """Scattered per-coefficient 3x3 tangent blocks via the Pallas kernel."""
+def tangent_blocks(u, elems, fn, tpd, dt):
+    """Scattered per-coefficient 3x3 tangent blocks via the Pallas kernel.
+
+    u: node-level displacements (x - x_ref)."""
     S, E, E_pad = tpd["S"], tpd["E"], tpd["E_pad"]
-    n = x.shape[0]
-    xe = x[elems.conn]  # (E, S, 3)
-    xT = jnp.transpose(xe, (1, 2, 0)).reshape(S * 3, E)
-    xT = jnp.pad(xT, ((0, 0), (0, E_pad - E))).reshape(S * 3, E_pad // LANE, LANE)
-    outT = fn(xT) * dt  # (S*9, B, L); uniform dt weight applied here
-    out = outT.reshape(S, 3, 3, E_pad)[..., :E]
-    blocks_e = jnp.transpose(out, (3, 0, 1, 2))  # (E, S, 3, 3)
-    res = jnp.zeros((n, 3, 3), dtype=x.dtype)
-    return res.at[elems.conn.reshape(-1)].add(blocks_e.reshape(-1, 3, 3))
+    n = u.shape[0]
+    ue = u[elems.conn]  # (E, S, 3)
+    uT = jnp.transpose(ue, (1, 2, 0)).reshape(S * 3, E)
+    uT = jnp.pad(uT, ((0, 0), (0, E_pad - E))).reshape(S * 3, E_pad // LANE, LANE)
+    outT = fn(uT) * dt  # (S*6, B, L) packed-symmetric; dt weight applied here
+    out = outT.reshape(S, 6, E_pad)[:, :, :E]
+    sym_e = jnp.transpose(out, (2, 0, 1))  # (E, S, 6)
+    sym = jnp.zeros((n, 6), dtype=u.dtype)
+    sym = sym.at[elems.conn.reshape(-1)].add(sym_e.reshape(-1, 6))
+    # Unpack SYM6 -> (n, 3, 3) after the scatter (small, node-sized).
+    rows = jnp.stack(
+        [
+            jnp.stack([sym[:, 0], sym[:, 1], sym[:, 2]], axis=-1),
+            jnp.stack([sym[:, 1], sym[:, 3], sym[:, 4]], axis=-1),
+            jnp.stack([sym[:, 2], sym[:, 4], sym[:, 5]], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows
 
 
 def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
@@ -392,18 +418,18 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
 
     primal_body = partial(
         _body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
-        damped=damped, tangent=False,
+        damped=damped, tangent=False, tmask=elems.trans_mask,
     )
     tangent_body = partial(
         _body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
-        damped=damped, tangent=True,
+        damped=damped, tangent=True, tmask=elems.trans_mask,
     )
 
     @jax.custom_jvp
     def contrib(pe_T):
         return _pallas_call(
             _wrap_body(primal_body), S * 3, n_blocks,
-            [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"], tpd["xref_T"]],
+            [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]],
             interpret=interpret,
         )
 
@@ -421,7 +447,7 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
         ).reshape(S * 18, *pe_T.shape[1:])
         dout = _pallas_call(
             _wrap_body(tangent_body), S * 3, n_blocks,
-            [both, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"], tpd["xref_T"]],
+            [both, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]],
             interpret=interpret,
         )
         return out, dout
@@ -430,8 +456,8 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
 
 
 def _primal_prep_body(
-    pe_ref, gN_ref, dV_ref, Me_ref, xref_ref, out_ref, prep_ref,
-    *, Q, S, lam, mu, eta, lam_d, damped,
+    pe_ref, gN_ref, dV_ref, Me_ref, out_ref, prep_ref,
+    *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
 ):
     """Primal contribution + Hv precomputation in one pass.
 
@@ -447,28 +473,17 @@ def _primal_prep_body(
     def pget(a, c):
         return pe_ref[a * 9 + c]
 
-    def xref(a, c):
-        return xref_ref[a * 3 + c]
-
     def gn(q, a, j):
         return gN_ref[(q * S + a) * 3 + j]
 
     PR = 27 if damped else 18
     fe = [[None] * 3 for _ in range(S)]
+    # pe position channels carry displacements u = x - x_ref; centered.
+    uc = _center(pget, S, tmask)
+    vc = _center(lambda a, c: pget(a, 3 + c), S, tmask) if damped else None
     for q in range(Q):
-        Du = [[None] * 3 for _ in range(3)]
-        Fd = [[None] * 3 for _ in range(3)] if damped else None
-        for i in range(3):
-            for j in range(3):
-                acc = (pget(0, i) - xref(0, i)) * gn(q, 0, j)
-                for a in range(1, S):
-                    acc = acc + (pget(a, i) - xref(a, i)) * gn(q, a, j)
-                Du[i][j] = acc
-                if damped:
-                    accv = pget(0, 3 + i) * gn(q, 0, j)
-                    for a in range(1, S):
-                        accv = accv + pget(a, 3 + i) * gn(q, a, j)
-                    Fd[i][j] = accv
+        Du = _contract(uc, gn, q, S)
+        Fd = _contract(vc, gn, q, S) if damped else None
 
         P, S0 = _svk_stress_rows(Du, Fd, lam, mu, eta, lam_d)
 
@@ -495,7 +510,7 @@ def _primal_prep_body(
 
 def _hv_body(
     dt_ref, pT_ref, prep_ref, gN_ref, dV_ref, Me_ref, out_ref,
-    *, Q, S, lam, mu, eta, lam_d, damped,
+    *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
 ):
     """Specialized Hessian-vector product element kernel.
 
@@ -526,6 +541,7 @@ def _hv_body(
         return gN_ref[(q * S + a) * 3 + j]
 
     fe = [[None] * 3 for _ in range(S)]
+    pc = _center(pget, S, tmask)  # CG directions center exactly too
     for q in range(Q):
         Du = [[prep_ref[q * PR + i * 3 + j] for j in range(3)] for i in range(3)]
         S0 = [[prep_ref[q * PR + 9 + i * 3 + j] for j in range(3)] for i in range(3)]
@@ -534,13 +550,7 @@ def _hv_body(
             if damped
             else None
         )
-        G = [[None] * 3 for _ in range(3)]
-        for i in range(3):
-            for j in range(3):
-                acc = pget(0, i) * gn(q, 0, j)
-                for a in range(1, S):
-                    acc = acc + pget(a, i) * gn(q, a, j)
-                G[i][j] = acc
+        G = _contract(pc, gn, q, S)
 
         # sym2 = (G + G^T + G^T Du + Du^T G)/2 — shared by dE and dEdot.
         sym2 = [[None] * 3 for _ in range(3)]
@@ -613,10 +623,11 @@ def make_hv_kernels(elems, material, dtype=np.float32, interpret=False):
 
     pp_body = partial(
         _primal_prep_body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
-        damped=damped,
+        damped=damped, tmask=elems.trans_mask,
     )
     hv_body = partial(
         _hv_body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
+        tmask=elems.trans_mask,
     )
 
     def primal_prep_fn(pe_T):
@@ -625,7 +636,7 @@ def make_hv_kernels(elems, material, dtype=np.float32, interpret=False):
             jax.ShapeDtypeStruct((S * 3, B, LANE), pe_T.dtype),
             jax.ShapeDtypeStruct((PR, B, LANE), pe_T.dtype),
         ]
-        ins = [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"], tpd["xref_T"]]
+        ins = [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]]
         in_specs = [
             pl.BlockSpec((a.shape[0], SUB, LANE), lambda b, r=a.shape[0]: (0, b, 0))
             for a in ins
@@ -671,7 +682,7 @@ def _to_tiles(mat, E, E_pad):
     )
 
 
-def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system):
+def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system, u_prev=None):
     """ALM gradient + linear Hessian-vector operator via the specialized
     Pallas kernels: the primal pass stores per-QP (Du, S0, Fd) so each CG
     Hv costs ONE (E,S,3) gather + one tangent kernel + one scatter — no
@@ -682,16 +693,22 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system):
     `jax.linearize(grad_L)` otherwise. Matches `grad_L` exactly.
     """
     from tlfea.constraints import FixedCoefs
+    from tlfea.elements.assembly import node_ref
 
     elems = system.elems
     tpd = system.pallas
     S, E, E_pad = tpd.S, tpd.E, tpd.E_pad
     n = x_prev.shape[0]
     cons = system.constraints
-    x = x_prev + dt * v
+    x_ref = node_ref(elems)
+    if u_prev is None:
+        u_prev = x_prev - x_ref
     dtype = v.dtype
+    # Pallas kernels run in the working dtype (accuracy mode's wide u is an
+    # XLA-path feature).
+    u = (u_prev + dt * v).astype(dtype)
 
-    packed = jnp.concatenate([x, v, (v - v_prev) / dt], axis=1)  # (n, 9)
+    packed = jnp.concatenate([u, v, (v - v_prev) / dt], axis=1)  # (n, 9)
     pe = packed[elems.conn]  # (E, S, 9)
     peT = _to_tiles(jnp.transpose(pe, (1, 2, 0)).reshape(S * 9, E), E, E_pad)
     outT, prepT = tpd.prep_fn(peT)
@@ -700,10 +717,17 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system):
     idx = elems.conn.reshape(-1)
     vals = contrib_e.reshape(-1, 3)
     if isinstance(cons, FixedCoefs):
-        c = x[cons.idx] - cons.target
+        c = cons.eval_c_u(u, x_ref)
         idx = jnp.concatenate([idx, cons.idx])
         vals = jnp.concatenate([vals, dt * (lam_dual + rho * c)], axis=0)
-    g = jnp.zeros((n, 3), dtype=dtype).at[idx].add(vals) - f_ext
+    # Wide accumulation for BOTH the residual and Hv scatters when requested
+    # (System.accum_dtype): the Newton fixed point stalls at the noisier of
+    # the two, so they must match.
+    acc = jnp.dtype(system.accum_dtype) if system.accum_dtype else dtype
+    g = (
+        jnp.zeros((n, 3), dtype=acc).at[idx].add(vals.astype(acc))
+        - f_ext.astype(acc)
+    ).astype(dtype)
 
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
 
@@ -720,7 +744,9 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system):
             dvals = jnp.concatenate(
                 [dvals, (dt * dt * rho) * p[cons.idx]], axis=0
             )
-        return jnp.zeros((n, 3), dtype=dtype).at[didx].add(dvals)
+        return (
+            jnp.zeros((n, 3), dtype=acc).at[didx].add(dvals.astype(acc))
+        ).astype(dtype)
 
     return g, hvp
 
@@ -769,11 +795,12 @@ def with_pallas(system, dtype=np.float32, interpret=False):
     return system.replace(pallas=handle)
 
 
-def residual_contributions(x, v, dv_dt, elems, contrib, tpd, extra_idx=None, extra_vals=None):
+def residual_contributions(u, v, dv_dt, elems, contrib, tpd, extra_idx=None, extra_vals=None, accum_dtype=None):
     """Full fused residual using the Pallas kernel: gather -> transpose ->
     kernel -> transpose -> scatter. Drop-in equal to
     `assembly.alm_residual_contributions` for SVK materials.
 
+    u: node-level displacements (x - x_ref; see ElementBatch.x_ref).
     extra_idx/extra_vals: optional additional (C,) indices / (C, 3) values
     folded into the single scatter-add (used for pin-constraint forces so a
     gradient costs exactly one gather + one scatter)."""
@@ -782,8 +809,8 @@ def residual_contributions(x, v, dv_dt, elems, contrib, tpd, extra_idx=None, ext
         if isinstance(tpd, dict)
         else (tpd.S, tpd.E, tpd.E_pad)
     )
-    n = x.shape[0]
-    packed = jnp.concatenate([x, v, dv_dt], axis=1)  # (n, 9)
+    n = u.shape[0]
+    packed = jnp.concatenate([u, v, dv_dt], axis=1)  # (n, 9)
     pe = packed[elems.conn]  # (E, S, 9)
     peT = jnp.transpose(pe, (1, 2, 0)).reshape(S * 9, E)
     peT = jnp.pad(peT, ((0, 0), (0, E_pad - E)))
@@ -796,5 +823,10 @@ def residual_contributions(x, v, dv_dt, elems, contrib, tpd, extra_idx=None, ext
     if extra_idx is not None:
         idx = jnp.concatenate([idx, extra_idx])
         vals = jnp.concatenate([vals, extra_vals], axis=0)
-    res = jnp.zeros((n, 3), dtype=x.dtype)
-    return res.at[idx].add(vals)
+    # Optional wide accumulation: at high stiffness the per-slot forces are
+    # ~1e5x the net nodal value, so an f32 scatter floors the residual at
+    # ~1% of the load (see System.accum_dtype). The downcast of the SMALL
+    # net result is harmless.
+    acc = jnp.dtype(accum_dtype) if accum_dtype else u.dtype
+    res = jnp.zeros((n, 3), dtype=acc)
+    return res.at[idx].add(vals.astype(acc)).astype(u.dtype)

@@ -56,6 +56,8 @@ def _pad_elems(elems: ElementBatch, multiple: int) -> ElementBatch:
         mass_elem=pad(elems.mass_elem),
         xe_ref=pad(elems.xe_ref),
         n_coef=elems.n_coef,
+        x_ref=elems.x_ref,  # node-space: untouched by element padding
+        trans_mask=elems.trans_mask,
     )
 
 
@@ -77,6 +79,11 @@ def shard_system(system, mesh: Mesh):
         mass_elem=jax.device_put(elems.mass_elem, esh),
         xe_ref=jax.device_put(elems.xe_ref, esh),
         n_coef=elems.n_coef,
+        x_ref=(
+            None if elems.x_ref is None
+            else jax.device_put(elems.x_ref, rep)  # node arrays replicate
+        ),
+        trans_mask=elems.trans_mask,
     )
 
     def put_rep(leaf):
@@ -90,7 +97,8 @@ def shard_system(system, mesh: Mesh):
         if system.constraints is not None
         else None
     )
-    return type(system)(elems=sharded_elems, material=material, constraints=constraints)
+    # .replace preserves non-sharded fields (pallas handle, fused_grad, ...).
+    return system.replace(elems=sharded_elems, material=material, constraints=constraints)
 
 
 def replicate(tree, mesh: Mesh):

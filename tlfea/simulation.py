@@ -121,6 +121,8 @@ class Simulation:
     # -- state injection (reference `UpdatePositions` /
     # `UpdateConstraintTargets`, `FEAT10Data.cuh:671-701`) ----------------
     def set_positions(self, x) -> None:
+        # u=None: solvers re-derive displacements from the injected absolute
+        # positions on the next step (see StepState.u).
         self.state = StepState(x=jnp.asarray(x), v=self.state.v, lam=self.state.lam)
 
     def set_constraint_targets(self, target) -> None:
@@ -135,13 +137,15 @@ class Simulation:
 
     # -- checkpoint / resume ---------------------------------------------
     def save_state(self, path: str) -> None:
-        np.savez(
-            path,
+        fields = dict(
             x=np.asarray(self.state.x),
             v=np.asarray(self.state.v),
             lam=np.asarray(self.state.lam),
             step_count=self.step_count,
         )
+        if self.state.u is not None:
+            fields["u"] = np.asarray(self.state.u)
+        np.savez(path, **fields)
 
     def load_state(self, path: str) -> None:
         data = np.load(path)
@@ -149,5 +153,6 @@ class Simulation:
             x=jnp.asarray(data["x"]),
             v=jnp.asarray(data["v"]),
             lam=jnp.asarray(data["lam"]),
+            u=jnp.asarray(data["u"]) if "u" in data else None,
         )
         self.step_count = int(data["step_count"])

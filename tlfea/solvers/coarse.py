@@ -30,6 +30,18 @@ from tlfea.elements.assembly import ElementBatch, deformation_gradient
 __all__ = ["CoarseSetup", "build_aggregates", "coarse_operator", "make_two_level_precond"]
 
 
+def _viscous_factor(material, dt):
+    """Proportional-damping scale for elastic tangent blocks: the
+    Kelvin-Voigt tangent has the same lam*A + mu*B structure with
+    (lam_d, eta) replacing (dt*lam, dt*mu), so H_el + H_vis ~=
+    H_el * (1 + (eta + lam_d)/(dt (lam + mu))). Preconditioner-quality
+    (exact under proportional damping); without it, heavy damping leaves
+    the dominant Hessian term unrepresented and CG stalls."""
+    eta_d = getattr(material, "eta_damp", 0.0)
+    lam_d = getattr(material, "lam_damp", 0.0)
+    return 1.0 + (eta_d + lam_d) / (dt * (material.lam + material.mu))
+
+
 @struct.dataclass
 class CoarseSetup:
     agg: jnp.ndarray  # (n_coef,) int32 cluster id
@@ -86,6 +98,7 @@ def coarse_operator(x, elems: ElementBatch, material, cons, setup: CoarseSetup, 
     """Assemble A_c = R^T H R -> (n_agg, 3, n_agg, 3) dense."""
     F = deformation_gradient(x, elems)
     Kb = _svk_pair_blocks(F, elems.grad_N, elems.dV, material.lam, material.mu, dt)
+    Kb = Kb * _viscous_factor(material, dt)
     # Mass blocks: (M/h)_ab = mass_elem/dt on the diagonal of the 3x3.
     eye = jnp.eye(3, dtype=x.dtype)
     Mb = (elems.mass_elem / dt)[..., None, None] * eye  # (E,S,S,3,3)
@@ -236,6 +249,7 @@ def build_coarse_precond(
         Du = jnp.einsum("eai,eqaj->eqij", x0_d[conn_c] - xe_ref_c, gradN_c)
         F = Du + jnp.eye(3, dtype=Du.dtype)
         Kb = _svk_pair_blocks(F, gradN_c, dV_c, material.lam, material.mu, dt)
+        Kb = Kb * _viscous_factor(material, dt)
         eye = jnp.eye(3, dtype=Kb.dtype)
         Hb = Kb + (mass_c / dt)[..., None, None] * eye  # (e,S,S,3,3)
         Phi = _phi(u0_d[conn_c], rotations)  # (e,S,3,k)

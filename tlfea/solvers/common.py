@@ -27,9 +27,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from tlfea.elements.assembly import ElementBatch, internal_force, mass_matvec, mass_diag
+from tlfea.elements.assembly import ElementBatch, internal_force, mass_matvec, mass_diag, node_ref
 
-__all__ = ["System", "StepState", "grad_L", "eval_constraints", "precond_blocks"]
+__all__ = [
+    "System", "StepState", "grad_L", "eval_constraints", "constraint_values",
+    "precond_blocks",
+]
 
 
 @struct.dataclass
@@ -52,6 +55,13 @@ class System:
     # the jit cache key (round-1 review: env-var toggles inside traced code
     # silently shared compile caches).
     fused_grad: bool = struct.field(pytree_node=False, default=True)
+    # Accumulation dtype for the residual scatter-add ('float64' or None).
+    # At high stiffness the per-slot element forces are ~1e5x the net nodal
+    # residual; f32 scatter cancellation then floors ||g|| at ~1% of the
+    # load. Accumulating just the scatter (and the f_ext subtract) in f64
+    # removes that floor while element kernels stay f32 — the f32-TPU answer
+    # to the reference's all-f64 CUDA assembly.
+    accum_dtype: str | None = struct.field(pytree_node=False, default=None)
 
     @property
     def n_coef(self) -> int:
@@ -60,11 +70,21 @@ class System:
 
 @struct.dataclass
 class StepState:
-    """Dynamic state advanced step to step."""
+    """Dynamic state advanced step to step.
 
-    x: jnp.ndarray  # (n_coef, 3) coefficient positions
+    `u` (displacements x - x_ref) is the PRIMARY mechanical state: solvers
+    advance u and derive x = x_ref + u for geometry consumers (collision,
+    IO). Storing only absolute x quantizes the state at eps*|x| (coordinate
+    scale), which floors the achievable f32 residual at ~1% of the load for
+    stiff problems; u's quantization is eps*|u| (displacement scale), 100x+
+    finer. `u=None` (e.g. states built by hand or loaded from old
+    checkpoints) makes solvers fall back to u = x - x_ref once per step.
+    """
+
+    x: jnp.ndarray  # (n_coef, 3) coefficient positions (derived geometry)
     v: jnp.ndarray  # (n_coef, 3) coefficient velocities
     lam: jnp.ndarray  # dual variables, shaped like eval_constraints output
+    u: jnp.ndarray | None = None  # (n_coef, 3) displacements (primary)
 
     @staticmethod
     def rest(system: System, x0: jnp.ndarray) -> "StepState":
@@ -75,12 +95,29 @@ class StepState:
         else:
             c0 = eval_constraints(cons, x0)
             lam = jnp.zeros_like(c0)
-        return StepState(x=x0, v=jnp.zeros_like(x0), lam=lam)
+        x_ref = node_ref(system.elems).astype(x0.dtype)
+        return StepState(x=x0, v=jnp.zeros_like(x0), lam=lam, u=x0 - x_ref)
 
 
 def eval_constraints(cons, x: jnp.ndarray):
     """c(x); shape (C, 3) for FixedCoefs or (n_rows,) for LinearConstraints."""
     return cons.eval_c(x)
+
+
+def constraint_values(cons, x_prev, v, dt, elems, u_prev=None):
+    """c(x_prev + dt v) evaluated in displacement space.
+
+    Groups the arithmetic as c = (u_prev + dt v) - target_u so the dt*v
+    increment is never added to coordinate-scale values first — in f32,
+    x_prev + dt*v rounds increments below eps*|x| away entirely (see
+    ElementBatch.x_ref). Pass u_prev (the stored StepState.u) to avoid
+    re-deriving it from quantized absolute positions."""
+    x_ref = node_ref(elems)
+    if u_prev is None:
+        u_prev = x_prev - x_ref
+    # c is a small violation — downcast to the working dtype so dual
+    # updates don't promote when u is carried wide (accuracy mode).
+    return cons.eval_c_u(u_prev + dt * v, x_ref).astype(v.dtype)
 
 
 def grad_L(
@@ -92,29 +129,41 @@ def grad_L(
     dt,
     rho,
     system: System,
+    u_prev=None,
 ) -> jnp.ndarray:
-    """ALM gradient g(v), shape (n_coef, 3). Pure in v -> exact Hv via jax.jvp."""
+    """ALM gradient g(v), shape (n_coef, 3). Pure in v -> exact Hv via jax.jvp.
+
+    All hot paths evaluate in DISPLACEMENT space u = u_prev + dt*v: forming
+    absolute x = x_prev + dt*v first would round dt*v increments below
+    eps*|x| away in f32 and stall Newton on stiff problems (see
+    ElementBatch.x_ref). u_prev defaults to x_prev - x_ref; pass the stored
+    StepState.u for the full displacement-resolution state."""
     from tlfea.constraints import FixedCoefs
 
     elems = system.elems
-    x = x_prev + dt * v
+    x_ref = node_ref(elems)
+    if u_prev is None:
+        u_prev = x_prev - x_ref
+    u = u_prev + dt * v
     cons = system.constraints
     if system.pallas is not None:
         from tlfea.ops.pallas_fem import residual_contributions
 
+        u = u.astype(v.dtype)  # Pallas kernels run in the working dtype
         extra_idx = extra_vals = None
         if isinstance(cons, FixedCoefs):
             # Fold the pin-constraint force h (lam + rho c) into the element
             # scatter: one scatter-add per gradient, total.
-            c = x[cons.idx] - cons.target
+            c = cons.eval_c_u(u, x_ref)
             extra_idx = cons.idx
             extra_vals = dt * (lam + rho * c)
         g = residual_contributions(
-            x, v, (v - v_prev) / dt, elems, system.pallas.fn, system.pallas,
+            u, v, (v - v_prev) / dt, elems, system.pallas.fn, system.pallas,
             extra_idx=extra_idx, extra_vals=extra_vals,
+            accum_dtype=system.accum_dtype,
         ) - f_ext
         if cons is not None and not isinstance(cons, FixedCoefs):
-            c = eval_constraints(cons, x)
+            c = cons.eval_c_u(u, x_ref)
             g = g + dt * cons.apply_jt(lam + rho * c, elems.n_coef)
         return g
 
@@ -122,22 +171,28 @@ def grad_L(
         from tlfea.elements.assembly import _element_contrib_values
         from tlfea.ops.segment import coef_scatter_add
 
-        contrib = _element_contrib_values(x, v, (v - v_prev) / dt, elems, system.material)
+        contrib = _element_contrib_values(
+            u, v, (v - v_prev) / dt, elems, system.material,
+            compute_dtype=system.accum_dtype,
+        )
         idx = elems.conn.reshape(-1)
         vals = contrib.reshape(-1, 3)
         if isinstance(cons, FixedCoefs):
             # Fold the constraint force h (lam + rho c) into the same
             # scatter (one scatter-add per gradient, total).
-            c = x[cons.idx] - cons.target
+            c = cons.eval_c_u(u, x_ref)
             idx = jnp.concatenate([idx, cons.idx])
             vals = jnp.concatenate([vals, dt * (lam + rho * c)], axis=0)
-        out = jnp.zeros((elems.n_coef, 3), dtype=v.dtype)
-        g = out.at[idx].add(vals) - f_ext
+        acc = jnp.dtype(system.accum_dtype) if system.accum_dtype else v.dtype
+        out = jnp.zeros((elems.n_coef, 3), dtype=acc)
+        g = (out.at[idx].add(vals.astype(acc)) - f_ext.astype(acc)).astype(v.dtype)
         if cons is not None and not isinstance(cons, FixedCoefs):
-            c = eval_constraints(cons, x)
+            c = cons.eval_c_u(u, x_ref)
             g = g + dt * cons.apply_jt(lam + rho * c, elems.n_coef)
         return g
 
+    # Legacy unfused path (validation/profiling): absolute-coordinate eval.
+    x = x_prev + dt * v
     g = mass_matvec(v - v_prev, elems) / dt
     g = g + internal_force(x, v, elems, system.material) - f_ext
     if cons is not None:
@@ -152,6 +207,7 @@ def precond_blocks(
     dt,
     rho,
     system: System,
+    u_prev=None,
 ) -> jnp.ndarray:
     """Block-Jacobi 3x3 preconditioner blocks of dg/dv -> (n_coef, 3, 3).
 
@@ -163,21 +219,42 @@ def precond_blocks(
     (`SyncedNewton.cuh:105-109`).
     """
     elems = system.elems
-    x = x_prev + dt * v
+    if u_prev is None:
+        u_prev = x_prev - node_ref(elems)
+    # Preconditioner quality is insensitive to the wide-u accuracy mode —
+    # work in the solver dtype.
+    u = (u_prev + dt * v).astype(v.dtype)
     if system.pallas is not None and getattr(system.pallas, "precond_fn", None) is not None:
         from tlfea.ops.pallas_fem import tangent_blocks
 
-        blocks = tangent_blocks(x, elems, system.pallas.precond_fn, system.pallas, dt)
+        blocks = tangent_blocks(u, elems, system.pallas.precond_fn, system.pallas, dt)
     else:
-        from tlfea.elements.assembly import deformation_gradient
+        from tlfea.elements.assembly import gather_coefs
 
-        F = deformation_gradient(x, elems)  # (E, Q, 3, 3)
+        ue = gather_coefs(u, elems.conn)  # (E, S, 3)
+        Du = jnp.einsum("eai,eqaj->eqij", ue, elems.grad_N)
+        F = Du + jnp.eye(3, dtype=Du.dtype)  # (E, Q, 3, 3)
         # (E, Q, S, 3, 3) diag tangent blocks, weighted by dt * dV.
         Kb = system.material.tangent_diag_block(F[:, :, None, :, :], elems.grad_N)
         Kb = Kb * (dt * elems.dV)[:, :, None, None, None]
         Kb = Kb.sum(axis=1)  # (E, S, 3, 3)
         blocks = jnp.zeros((elems.n_coef, 3, 3), dtype=v.dtype)
         blocks = blocks.at[elems.conn.reshape(-1)].add(Kb.reshape(-1, 3, 3))
+
+    # Kelvin-Voigt viscous tangent: f_vis is linear in v through
+    # Fdot = sum_a v_a grad_N_a (no dt factor), and its diagonal block has
+    # the same lam*A + mu*B structure as the elastic one with
+    # (lam_d, eta) in place of (dt*lam, dt*mu). Fold it in as a scalar
+    # proportionality factor (exact for proportional damping; a
+    # preconditioner-quality approximation otherwise). Without this, heavy
+    # damping (eta/dt >> E) leaves the dominant Hessian term
+    # unpreconditioned and CG stalls.
+    mat = system.material
+    eta_d = getattr(mat, "eta_damp", 0.0)
+    lam_d = getattr(mat, "lam_damp", 0.0)
+    lam_mu = mat.lam + mat.mu if hasattr(mat, "lam") else None
+    if lam_mu is not None:
+        blocks = blocks * (1.0 + (eta_d + lam_d) / (dt * lam_mu))
 
     eye = jnp.eye(3, dtype=v.dtype)
     md = mass_diag(elems) / dt  # (n_coef,)
@@ -203,7 +280,9 @@ def precond_blocks(
     scale = jnp.maximum(jnp.abs(blocks).max(axis=(-2, -1)), 1e-30)
     shift = jnp.maximum(-lmin_lb, 0.0) + 1e-7 * scale
     blocks = blocks + shift[:, None, None] * eye
-    return blocks
+    # Keep the solver's working dtype even when u is carried wide (the
+    # mixed-precision accuracy mode stores ONLY u in f64; see StepState.u).
+    return blocks.astype(v.dtype)
 
 
 def flat_norm(a: jnp.ndarray) -> jnp.ndarray:

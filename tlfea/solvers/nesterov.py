@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from tlfea.solvers.common import StepState, System, grad_L, flat_norm
+from tlfea.solvers.common import StepState, System, grad_L, flat_norm, constraint_values
 
 __all__ = ["NesterovParams", "step", "make_step"]
 
@@ -36,11 +36,11 @@ class NesterovParams:
     max_inner: int = struct.field(pytree_node=False, default=2000)
 
 
-def _inner(v0, x_prev, v_prev, lam, f_ext, params: NesterovParams, system: System):
+def _inner(v0, x_prev, v_prev, lam, f_ext, params: NesterovParams, system: System, u_prev=None):
     dt, rho = params.dt, params.rho
 
     def g_of(v):
-        return grad_L(v, x_prev, v_prev, lam, f_ext, dt, rho, system)
+        return grad_L(v, x_prev, v_prev, lam, f_ext, dt, rho, system, u_prev=u_prev)
 
     def cond(carry):
         _, _, _, k, done, _ = carry
@@ -69,15 +69,19 @@ def _inner(v0, x_prev, v_prev, lam, f_ext, params: NesterovParams, system: Syste
 
 
 def _step(system: System, state: StepState, params: NesterovParams, f_ext):
+    from tlfea.elements.assembly import node_ref
+
     x_prev = state.x
+    x_ref = node_ref(system.elems)
+    u_prev = state.u if state.u is not None else x_prev - x_ref
     cons = system.constraints
 
     def outer_body(carry):
         v, v_prev, lam, k, _, inner_tot = carry
-        v, n_it, _ = _inner(v, x_prev, v_prev, lam, f_ext, params, system)
+        v, n_it, _ = _inner(v, x_prev, v_prev, lam, f_ext, params, system, u_prev=u_prev)
         v_prev = v
         if cons is not None:
-            c = cons.eval_c(x_prev + params.dt * v)
+            c = constraint_values(cons, x_prev, v, params.dt, system.elems, u_prev=u_prev)
             lam = lam + params.rho * params.dt * c  # SyncedNesterov.cu:335-341
             norm_c = flat_norm(c)
         else:
@@ -90,8 +94,9 @@ def _step(system: System, state: StepState, params: NesterovParams, f_ext):
 
     init = (state.v, state.v, state.lam, 0, jnp.asarray(jnp.inf, state.v.dtype), 0)
     v, _, lam, outers, norm_c, inner_tot = jax.lax.while_loop(outer_cond, outer_body, init)
-    x = x_prev + params.dt * v
-    return StepState(x=x, v=v, lam=lam), {
+    u = u_prev + params.dt * v  # displacement-scale update (see StepState.u)
+    x = (x_ref + u).astype(x_prev.dtype)
+    return StepState(x=x, v=v, lam=lam, u=u), {
         "outer_iters": outers,
         "inner_iters": inner_tot,
         "norm_c": norm_c,

@@ -28,9 +28,11 @@ import jax.numpy as jnp
 from flax import struct
 
 from tlfea.ops.linalg import inv3x3
-from tlfea.solvers.common import StepState, System, grad_L, precond_blocks, flat_norm
+from tlfea.solvers.common import (
+    StepState, System, grad_L, precond_blocks, flat_norm, constraint_values,
+)
 
-__all__ = ["NewtonParams", "step", "make_step"]
+__all__ = ["NewtonParams", "step", "make_step", "make_rollout"]
 
 
 @struct.dataclass
@@ -101,14 +103,22 @@ def _pcg(hvp, precond, b, rtol, max_iter):
     return x, k, flat_norm(r)
 
 
-def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: System, coarse=None):
-    """Inner Newton loop at fixed duals; returns (v, iters, ||g||)."""
+def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: System, coarse=None, inv_blocks=None, u_prev=None):
+    """Inner Newton loop at fixed duals; returns (v, iters, ||g||).
+
+    inv_blocks: optional precomputed inverted block-Jacobi blocks (n, 3, 3)
+    — pass to reuse a (possibly slightly stale) preconditioner across steps
+    (see `make_rollout`); staleness only affects CG iteration count, never
+    correctness.
+    u_prev: stored displacement state (StepState.u) for full f32
+    displacement-scale resolution; falls back to x_prev - x_ref.
+    """
     from tlfea.constraints import FixedCoefs
 
     dt, rho = params.dt, params.rho
 
     def g_of(v):
-        return grad_L(v, x_prev, v_prev, lam, f_ext, dt, rho, system)
+        return grad_L(v, x_prev, v_prev, lam, f_ext, dt, rho, system, u_prev=u_prev)
 
     # Specialized Pallas Hv path: the primal pass caches per-QP (Du, S0, Fd)
     # so each CG Hessian-vector product is one (E,S,3) gather + one tangent
@@ -124,7 +134,8 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         if use_pallas_hv:
             from tlfea.ops.pallas_fem import g_and_hvp
 
-            return g_and_hvp(v, x_prev, v_prev, lam, f_ext, dt, rho, system)
+            return g_and_hvp(v, x_prev, v_prev, lam, f_ext, dt, rho, system,
+                             u_prev=u_prev)
         return jax.linearize(g_of, v)
 
     # Frozen block-Jacobi preconditioner: assembled once per inner solve at
@@ -132,11 +143,14 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     # computation in the step; freshness barely affects CG quality). The
     # reference's cuDSS analog is REFACTORIZATION reuse
     # (`SyncedNewton.cu:1101-1108`).
-    blocks0 = precond_blocks(v0, x_prev, dt, rho, system)
-    # Invert once per inner solve: the block-Jacobi apply sits on the CG
-    # critical path, and a 3x3 matvec per iteration beats re-running the
-    # adjugate solve every iteration.
-    inv_blocks0 = inv3x3(blocks0, eps=1e-30)
+    if inv_blocks is None:
+        blocks0 = precond_blocks(v0, x_prev, dt, rho, system, u_prev=u_prev)
+        # Invert once per inner solve: the block-Jacobi apply sits on the CG
+        # critical path, and a 3x3 matvec per iteration beats re-running the
+        # adjugate solve every iteration.
+        inv_blocks0 = inv3x3(blocks0, eps=1e-30)
+    else:
+        inv_blocks0 = inv_blocks
 
     def bj_apply(r):
         return jnp.einsum("nij,nj->ni", inv_blocks0, r)
@@ -157,7 +171,9 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
             system.constraints, coarse, dt, rho,
         )
         chol = jax.scipy.linalg.cho_factor(Ac, lower=True)[0]
-        precond = make_two_level_precond(blocks0, chol, coarse)
+        precond = make_two_level_precond(
+            precond_blocks(v0, x_prev, dt, rho, system, u_prev=u_prev), chol, coarse
+        )
     else:
         precond = bj_apply
 
@@ -212,20 +228,27 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     return v, iters, norm_g, cg_total, hist
 
 
-def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=None):
+def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=None, inv_blocks=None):
     """One backward-Euler step; returns (new_state, diagnostics dict)."""
+    from tlfea.elements.assembly import node_ref
+
     x_prev = state.x
+    x_ref = node_ref(system.elems)
+    # Displacement is the primary state (StepState.u); derive it once when
+    # stepping a hand-built state that only carries absolute positions.
+    u_prev = state.u if state.u is not None else x_prev - x_ref
     cons = system.constraints
 
     def outer_body(carry):
         v, v_prev, lam, k, _, newton_tot, cg_tot, _h = carry
         v, n_it, norm_g, cg_it, hist = _newton_inner(
-            v, x_prev, v_prev, lam, f_ext, params, system, coarse
+            v, x_prev, v_prev, lam, f_ext, params, system, coarse, inv_blocks,
+            u_prev=u_prev,
         )
         v_prev = v
         if cons is not None:
-            x = x_prev + params.dt * v
-            c = cons.eval_c(x)
+            c = constraint_values(cons, x_prev, v, params.dt, system.elems,
+                                  u_prev=u_prev)
             lam = lam + params.rho * c  # Newton dual update (SyncedNewton.cu:470-481)
             norm_c = flat_norm(c)
         else:
@@ -245,8 +268,11 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
     v, _, lam, outers, norm_c, newton_tot, cg_tot, hist = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
-    x = x_prev + params.dt * v
-    new_state = StepState(x=x, v=v, lam=lam)
+    u = u_prev + params.dt * v  # displacement-scale state update (exact)
+    # Derived geometry for collision/IO consumers; keeps the state dtype
+    # even when u is carried wide (mixed-precision accuracy mode).
+    x = (x_ref + u).astype(x_prev.dtype)
+    new_state = StepState(x=x, v=v, lam=lam, u=u)
     diag = {
         "outer_iters": outers,
         "newton_iters": newton_tot,
@@ -272,6 +298,62 @@ def make_step(system: System, params: NewtonParams, coarse=None):
         return _step(system, state, params, f_ext, coarse)
 
     return _f
+
+
+def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None,
+                 precond_refresh: int = 1):
+    """Jitted sustained rollout: `roll(state, f_ext) -> (state, (newton_iters,
+    cg_iters))` chaining `n_steps` backward-Euler steps in one `lax.scan`.
+
+    precond_refresh=K freezes the inverted block-Jacobi preconditioner for K
+    consecutive steps (the blocks change slowly between steps; assembling
+    them is ~8.5 ms at 10.6k elems vs ~1 ms per CG iteration — PERF_NOTES).
+    Staleness only affects CG iteration counts, never the converged solution.
+    The production-shape API: per-step dispatch over the axon tunnel costs
+    more than a whole step, so benchmarks and long runs should scan.
+    """
+    refresh = max(int(precond_refresh), 1)
+
+    def fresh_inv(state):
+        return inv3x3(
+            precond_blocks(state.v, state.x, params.dt, params.rho, system,
+                           u_prev=state.u),
+            eps=1e-30,
+        )
+
+    @jax.jit
+    def roll(state: StepState, f_ext):
+        if state.u is None:
+            # Normalize: the scan carry must have a fixed pytree structure,
+            # and _step emits states carrying the displacement field.
+            from tlfea.elements.assembly import node_ref
+
+            state = state.replace(u=state.x - node_ref(system.elems))
+
+        def body(carry, k):
+            st, inv_b = carry
+            if refresh > 1:
+                inv_b = jax.lax.cond(
+                    k % refresh == 0, lambda s, b: fresh_inv(s), lambda s, b: b,
+                    st, inv_b,
+                )
+            ns, d = _step(system, st, params, f_ext, coarse, inv_blocks=inv_b)
+            return (ns, inv_b), (d["newton_iters"], d["cg_iters"])
+
+        if refresh > 1:
+            inv0 = fresh_inv(state)
+            (s, _), its = jax.lax.scan(
+                body, (state, inv0), jnp.arange(n_steps)
+            )
+        else:
+            def body1(st, _):
+                ns, d = _step(system, st, params, f_ext, coarse)
+                return ns, (d["newton_iters"], d["cg_iters"])
+
+            s, its = jax.lax.scan(body1, state, None, length=n_steps)
+        return s, its
+
+    return roll
 
 
 def stepper(params, coarse=None):

@@ -39,7 +39,9 @@ import numpy as np
 from flax import struct
 
 from tlfea.ops.linalg import solve3x3
-from tlfea.solvers.common import StepState, System, grad_L, precond_blocks, flat_norm
+from tlfea.solvers.common import (
+    StepState, System, grad_L, precond_blocks, flat_norm, constraint_values,
+)
 from tlfea.utils.coloring import colors_and_incidence, pad_colors
 
 __all__ = ["VBDParams", "VBDStructures", "prepare", "make_step", "stepper"]
@@ -91,16 +93,16 @@ def _step_impl(system: System, structures: VBDStructures, params: VBDParams, sta
     dt = params.dt
     eye = jnp.eye(3, dtype=state.v.dtype)
 
-    def g_of(v, x_prev, v_prev, lam):
-        return grad_L(v, x_prev, v_prev, lam, f_ext, dt, params.rho, system)
+    def g_of(v, x_prev, v_prev, lam, u_prev=None):
+        return grad_L(v, x_prev, v_prev, lam, f_ext, dt, params.rho, system, u_prev=u_prev)
 
-    def sweep(v, x_prev, v_prev, lam, blocks):
+    def sweep(v, x_prev, v_prev, lam, blocks, u_prev):
         """One full inner sweep over all color groups."""
 
         def group_body(g, v):
             # Residual refreshed once per group (stress + mass + constraint
             # terms all current as of group start).
-            grad = g_of(v, x_prev, v_prev, lam)
+            grad = g_of(v, x_prev, v_prev, lam, u_prev=u_prev)
 
             def color_body(s, v):
                 nodes = structures.color_nodes[g, s]
@@ -117,11 +119,11 @@ def _step_impl(system: System, structures: VBDStructures, params: VBDParams, sta
 
         return jax.lax.fori_loop(0, structures.n_groups, group_body, v)
 
-    def inner(v0, x_prev, v_prev, lam):
+    def inner(v0, x_prev, v_prev, lam, u_prev):
         # Frozen SPD diagonal blocks for the whole inner solve (the
         # reference re-extracts them from cached F per sweep; freshness
         # barely affects the fixed point, which is g = 0 regardless).
-        blocks = precond_blocks(v0, x_prev, dt, params.rho, system)
+        blocks = precond_blocks(v0, x_prev, dt, params.rho, system, u_prev=u_prev)
 
         def cond(carry):
             _, k, done = carry
@@ -129,10 +131,10 @@ def _step_impl(system: System, structures: VBDStructures, params: VBDParams, sta
 
         def body(carry):
             v, k, done = carry
-            v = sweep(v, x_prev, v_prev, lam, blocks)
+            v = sweep(v, x_prev, v_prev, lam, blocks, u_prev)
             check = (k % params.convergence_check_interval) == 0
             norm_g = jnp.where(
-                check, flat_norm(g_of(v, x_prev, v_prev, lam)), jnp.inf
+                check, flat_norm(g_of(v, x_prev, v_prev, lam, u_prev=u_prev)), jnp.inf
             )
             done = jnp.logical_or(done, norm_g < params.inner_tol)
             return (v, k + 1, done)
@@ -141,14 +143,19 @@ def _step_impl(system: System, structures: VBDStructures, params: VBDParams, sta
         return v, sweeps
 
     def _run(state: StepState, f_ext):
+        from tlfea.elements.assembly import node_ref
+
         x_prev = state.x
+        x_ref = node_ref(system.elems)
+        u_prev = state.u if state.u is not None else x_prev - x_ref
 
         def outer_body(carry):
             v, v_prev, lam, k, _, sweeps_tot = carry
-            v, n_sweeps = inner(v, x_prev, v_prev, lam)
+            v, n_sweeps = inner(v, x_prev, v_prev, lam, u_prev)
             v_prev = v
             if cons is not None:
-                c = cons.eval_c(x_prev + dt * v)
+                c = constraint_values(cons, x_prev, v, dt, system.elems,
+                                      u_prev=u_prev)
                 lam = lam + params.rho * c  # SyncedVBD.cu:456-464
                 norm_c = flat_norm(c)
             else:
@@ -163,8 +170,9 @@ def _step_impl(system: System, structures: VBDStructures, params: VBDParams, sta
 
         init = (state.v, state.v, state.lam, 0, jnp.asarray(jnp.inf, state.v.dtype), 0)
         v, _, lam, outers, norm_c, sweeps = jax.lax.while_loop(outer_cond, outer_body, init)
-        x = x_prev + dt * v
-        return StepState(x=x, v=v, lam=lam), {
+        u = u_prev + dt * v  # displacement-scale update (see StepState.u)
+        x = (x_ref + u).astype(x_prev.dtype)
+        return StepState(x=x, v=v, lam=lam, u=u), {
             "outer_iters": outers,
             "sweeps": sweeps,
             "norm_c": norm_c,
