@@ -18,9 +18,17 @@ from tlfea.solvers import adamw, nesterov, newton, vbd
 REF_DATA = "/root/reference/data"
 
 
-def make_solver(name: str, system, dt: float, rho: float):
+def make_solver(name: str, system, dt: float, rho: float | None):
     """Per-solver parameter sets modeled on the reference's unified beam-sag
-    driver (`lib_bin/beam_sag/test_ancf3243.cc:329-399`)."""
+    driver (`lib_bin/beam_sag/test_ancf3243.cc:329-399`).
+
+    Pass rho=None to derive the ALM penalty from the problem stiffness
+    (`suggest_rho`: rho ~ E*h/dt, the scale that keeps constraint
+    enforcement primal-stiff rather than dual-integral — PERF_NOTES.md)."""
+    if rho is None:
+        from tlfea.solvers import suggest_rho
+
+        rho = suggest_rho(system.elems, system.material, dt)
     if name == "newton":
         # inner_rtol carries the convergence; the absolute tolerance is kept
         # loose because float32 residuals floor at percent-of-load levels on

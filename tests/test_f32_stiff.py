@@ -82,6 +82,16 @@ def test_f32_newton_pure_f32_stiff_beam():
     assert final <= 1e-2, f"pure-f32 residual {final:.3e} > 1e-2"
 
 
+def test_suggest_rho_matches_stiffness_scale():
+    """suggest_rho lands within an order of magnitude of the hand-tuned
+    penalty that stabilizes this stiff beam (1e11; see module docstring)."""
+    from tlfea.solvers import suggest_rho
+
+    system, _, _ = _stiff_problem(np.float32)
+    rho = suggest_rho(system.elems, system.material, 1e-3)
+    assert 1e10 <= rho <= 1e12, rho
+
+
 def test_f32_iterate_update_resolves_tiny_increments():
     """The u-space mechanism: constraint eval sees dt*v increments that
     absolute-coordinate eval would quantize against node coordinates."""

@@ -5,7 +5,7 @@ interface and are interchangeable, mirroring the reference's `SolverBase`
 (`lib_src/solvers/SolverBase.h:16-23`).
 """
 
-from tlfea.solvers.common import System, StepState, grad_L  # noqa: F401
+from tlfea.solvers.common import System, StepState, grad_L, suggest_rho  # noqa: F401
 from tlfea.solvers import newton, adamw, nesterov, vbd, coarse  # noqa: F401
 
 # The reference ships AdamW twice (cooperative + "Nocoop" host-loop variants,

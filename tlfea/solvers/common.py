@@ -25,13 +25,14 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from tlfea.elements.assembly import ElementBatch, internal_force, mass_matvec, mass_diag, node_ref
 
 __all__ = [
     "System", "StepState", "grad_L", "eval_constraints", "constraint_values",
-    "precond_blocks",
+    "precond_blocks", "suggest_rho",
 ]
 
 
@@ -288,3 +289,22 @@ def precond_blocks(
 def flat_norm(a: jnp.ndarray) -> jnp.ndarray:
     """L2 norm of an arbitrarily-shaped array viewed as a flat vector."""
     return jnp.sqrt(jnp.sum(a * a))
+
+
+def suggest_rho(elems: ElementBatch, material, dt: float) -> float:
+    """ALM penalty scaled to the problem stiffness: rho ~ E * h_elem / dt.
+
+    The penalty stiffness dt^2*rho must be comparable to the elastic
+    stiffness dt*k_elem (~ dt*E*h) at constrained nodes. A much weaker
+    penalty leaves constraint enforcement to the dual integral action
+    (lam += rho c per outer iteration), which couples unstably with
+    barely-damped structural oscillation — |lam| and the kinetic energy
+    then grow exponentially in ANY precision (measured at E=7e8 with the
+    round-1 default rho=1e7; see PERF_NOTES "Float32 convergence floor").
+
+    Host-side helper (concrete numbers in, float out); call once at setup.
+    """
+    E_mod = float(np.asarray(material.mu)) * 2.0 + float(np.asarray(material.lam))
+    vol = float(np.asarray(elems.dV).sum()) / max(elems.n_elem, 1)
+    h = vol ** (1.0 / 3.0)
+    return E_mod * h / float(dt)
