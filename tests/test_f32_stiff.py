@@ -92,6 +92,42 @@ def test_suggest_rho_matches_stiffness_scale():
     assert 1e10 <= rho <= 1e12, rho
 
 
+def test_newton_predictor_cuts_iterations_same_solution():
+    """Warm-starting the Newton iterate at v + dv (constant-acceleration
+    extrapolation, NewtonParams.predict) must reduce iteration counts while
+    converging to the same trajectory — it changes only the starting point
+    of the iterate, never the backward-Euler fixed point."""
+    import jax
+
+    dtype = np.float32
+    system, state0, f_ext = _stiff_problem(dtype)
+    f_scale = float(jnp.sqrt(jnp.sum(f_ext * f_ext)))
+
+    def run(predict):
+        params = newton.NewtonParams(
+            dt=dtype(1e-3), rho=dtype(1e11),
+            inner_atol=dtype(1e-3 * f_scale), inner_rtol=dtype(0.0),
+            outer_tol=dtype(0.0), max_outer=1, max_inner=8,
+            cg_rtol=dtype(1e-4), cg_max_iter=200, ew_eta_max=dtype(0.5),
+            predict=dtype(predict),
+        )
+        step = newton.make_step(system, params)
+        st, tot = state0, 0
+        for k in range(12):
+            st, diag = step(st, f_ext * dtype(min(1.0, (k + 1) / 8)))
+            tot += int(diag["newton_iters"]) * 1000 + int(diag["cg_iters"])
+        return st, tot
+
+    st_cold, work_cold = run(0.0)
+    st_warm, work_warm = run(1.0)
+    # same converged trajectory (both solve to the same tolerance)...
+    scale = float(jnp.max(jnp.abs(st_cold.x)))
+    err = float(jnp.max(jnp.abs(st_warm.x - st_cold.x))) / scale
+    assert err < 1e-5, f"predictor changed the trajectory: rel err {err:.2e}"
+    # ...for strictly less total work on this smooth ramp
+    assert work_warm < work_cold, (work_warm, work_cold)
+
+
 def test_f32_iterate_update_resolves_tiny_increments():
     """The u-space mechanism: constraint eval sees dt*v increments that
     absolute-coordinate eval would quantize against node coordinates."""

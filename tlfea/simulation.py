@@ -145,6 +145,8 @@ class Simulation:
         )
         if self.state.u is not None:
             fields["u"] = np.asarray(self.state.u)
+        if self.state.dv is not None:
+            fields["dv"] = np.asarray(self.state.dv)
         np.savez(path, **fields)
 
     def load_state(self, path: str) -> None:
@@ -154,5 +156,6 @@ class Simulation:
             v=jnp.asarray(data["v"]),
             lam=jnp.asarray(data["lam"]),
             u=jnp.asarray(data["u"]) if "u" in data else None,
+            dv=jnp.asarray(data["dv"]) if "dv" in data else None,
         )
         self.step_count = int(data["step_count"])

@@ -152,20 +152,21 @@ class CoarsePrecond:
     n_agg: int = struct.field(pytree_node=False)
 
     def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
-        rc_t = self.Agg @ r  # (na, 3)
         if not self.rotations:
-            return rc_t.reshape(-1)
-        rc_r = self.Agg @ jnp.cross(self.u0, r)  # moments
-        return jnp.concatenate([rc_t, rc_r], axis=1).reshape(-1)
+            return (self.Agg @ r).reshape(-1)
+        # Augmented-channel matmul: translations and moments restricted in
+        # ONE (na, n) @ (n, 6) product (each extra latency-bound op on the
+        # CG critical path costs ~0.1-0.3 ms on this TPU — PERF_NOTES).
+        aug = jnp.concatenate([r, jnp.cross(self.u0, r)], axis=1)  # (n, 6)
+        return (self.Agg @ aug).reshape(-1)
 
     def prolong(self, w: jnp.ndarray) -> jnp.ndarray:
         k = 6 if self.rotations else 3
         w = w.reshape(self.n_agg, k)
-        z = self.Agg.T @ w[:, :3]
-        if self.rotations:
-            om = self.Agg.T @ w[:, 3:]
-            z = z + jnp.cross(om, self.u0)
-        return z
+        z6 = self.Agg.T @ w  # (n, k) — one matmul for both mode families
+        if not self.rotations:
+            return z6
+        return z6[:, :3] + jnp.cross(z6[:, 3:], self.u0)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         # Explicit-inverse matmul, not a triangular solve: cho_solve

@@ -48,6 +48,12 @@ class NewtonParams:
     max_inner: int = struct.field(pytree_node=False, default=20)
     cg_rtol: jnp.ndarray = 1e-4  # CG tolerance floor
     cg_max_iter: int = struct.field(pytree_node=False, default=200)
+    # Newton warm-start: initial iterate v0 = v + predict * dv with dv the
+    # previous step's velocity increment (StepState.dv). predict=1 is
+    # constant-acceleration extrapolation — measured Newton 3 -> 2 / CG
+    # halved per converged bench step; the converged solution is unchanged
+    # (it's only the iterate's starting point). Set 0.0 to disable.
+    predict: jnp.ndarray = 1.0
     # Eisenstat-Walker adaptive forcing (choice 2): per-Newton-iteration CG
     # tolerance eta_k = clamp(0.9 (||g_k||/||g_{k-1}||)^2, cg_rtol,
     # ew_eta_max). Early Newton iterations then use loose CG solves (SURVEY
@@ -239,6 +245,12 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
     u_prev = state.u if state.u is not None else x_prev - x_ref
     cons = system.constraints
 
+    # Warm-start iterate (see NewtonParams.predict). v_prev (the physics,
+    # entering the inertia/damping terms) stays state.v regardless.
+    v_init = state.v
+    if state.dv is not None:
+        v_init = state.v + params.predict * state.dv
+
     def outer_body(carry):
         v, v_prev, lam, k, _, newton_tot, cg_tot, _h = carry
         v, n_it, norm_g, cg_it, hist = _newton_inner(
@@ -262,7 +274,7 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
 
     hist0 = jnp.full((params.max_inner + 1,), jnp.nan, dtype=state.v.dtype)
     init = (
-        state.v, state.v, state.lam, 0,
+        v_init, state.v, state.lam, 0,
         jnp.asarray(jnp.inf, dtype=state.v.dtype), 0, 0, hist0,
     )
     v, _, lam, outers, norm_c, newton_tot, cg_tot, hist = jax.lax.while_loop(
@@ -272,7 +284,7 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
     # Derived geometry for collision/IO consumers; keeps the state dtype
     # even when u is carried wide (mixed-precision accuracy mode).
     x = (x_ref + u).astype(x_prev.dtype)
-    new_state = StepState(x=x, v=v, lam=lam, u=u)
+    new_state = StepState(x=x, v=v, lam=lam, u=u, dv=v - state.v)
     diag = {
         "outer_iters": outers,
         "newton_iters": newton_tot,
@@ -329,6 +341,8 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             from tlfea.elements.assembly import node_ref
 
             state = state.replace(u=state.x - node_ref(system.elems))
+        if state.dv is None:
+            state = state.replace(dv=jnp.zeros_like(state.v))
 
         def body(carry, k):
             st, inv_b = carry
