@@ -36,7 +36,7 @@ CONFIGS = {
 }
 
 
-def run_scale(name, rollout=20):
+def run_scale(name, rollout=20, tol=2.5e-2):
     import jax
     import jax.numpy as jnp
 
@@ -75,8 +75,8 @@ def run_scale(name, rollout=20):
     f_scale = float(jnp.sqrt(jnp.sum(f_ext * f_ext)))
     params = newton.NewtonParams(
         dt=dtype(1e-3), rho=dtype(1e7),
-        inner_atol=dtype(2.5e-2 * f_scale), inner_rtol=dtype(0.0),
-        outer_tol=dtype(0.0), max_outer=1, max_inner=4,
+        inner_atol=dtype(tol * f_scale), inner_rtol=dtype(0.0),
+        outer_tol=dtype(0.0), max_outer=1, max_inner=6,
         cg_rtol=dtype(1e-3), cg_max_iter=50, ew_eta_max=dtype(0.5),
     )
     # Flagship config: Pallas element kernel (exact f32). Fall back to the
@@ -135,10 +135,18 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/tlfea_jit_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    scales = os.environ.get("TLFEA_BENCH_SCALES", "1k,10k").split(",")
+    scales = os.environ.get("TLFEA_BENCH_SCALES", "1k,10k,10k_tight").split(",")
     series = {}
     for name in scales:
-        series[name.strip()] = run_scale(name.strip())
+        name = name.strip()
+        if name.endswith("_tight"):
+            # Tight convergence: 0.5% of the load norm. The measured f32
+            # residual floor post displacement-space rework is ~4e-4 of load
+            # mid-transient (PERF_NOTES), so this tolerance is honestly
+            # attainable; the 2.5e-2 entries remain for round-1 comparability.
+            series[name] = run_scale(name[: -len("_tight")], tol=5e-3)
+        else:
+            series[name] = run_scale(name)
 
     head = series.get("10k") or next(iter(series.values()))
     print(

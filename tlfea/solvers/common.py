@@ -104,7 +104,8 @@ class StepState:
             c0 = eval_constraints(cons, x0)
             lam = jnp.zeros_like(c0)
         x_ref = node_ref(system.elems).astype(x0.dtype)
-        return StepState(x=x0, v=jnp.zeros_like(x0), lam=lam, u=x0 - x_ref)
+        return StepState(x=x0, v=jnp.zeros_like(x0), lam=lam, u=x0 - x_ref,
+                         dv=jnp.zeros_like(x0))
 
 
 def eval_constraints(cons, x: jnp.ndarray):

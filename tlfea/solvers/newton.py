@@ -334,16 +334,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
         )
 
     @jax.jit
-    def roll(state: StepState, f_ext):
-        if state.u is None:
-            # Normalize: the scan carry must have a fixed pytree structure,
-            # and _step emits states carrying the displacement field.
-            from tlfea.elements.assembly import node_ref
-
-            state = state.replace(u=state.x - node_ref(system.elems))
-        if state.dv is None:
-            state = state.replace(dv=jnp.zeros_like(state.v))
-
+    def _roll(state: StepState, f_ext):
         def body(carry, k):
             st, inv_b = carry
             if refresh > 1:
@@ -366,6 +357,21 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
 
             s, its = jax.lax.scan(body1, state, None, length=n_steps)
         return s, its
+
+    def roll(state: StepState, f_ext):
+        # Normalize OPTIONAL state fields on the host, before the jit
+        # boundary: _roll's output state always carries u and dv arrays, so a
+        # None-field input would give the warmup call a different pytree
+        # structure than every chained call — a second trace/compile that
+        # lands inside whatever the caller is timing (measured as a phantom
+        # 150x "regression" when dv was first added).
+        if state.u is None:
+            from tlfea.elements.assembly import node_ref
+
+            state = state.replace(u=state.x - node_ref(system.elems))
+        if state.dv is None:
+            state = state.replace(dv=jnp.zeros_like(state.v))
+        return _roll(state, f_ext)
 
     return roll
 
