@@ -29,6 +29,13 @@ A consequence of using `grad_L`/`precond_blocks` wholesale: this VBD
 supports every constraint family the other solvers do (including general
 LinearConstraints, which the reference's VBD does not — it handles pins
 only, `SyncedVBD.cu:1089-1118`).
+
+POSITIONING (measured, PERF_NOTES "VBD datapoint"): on TPU this solver is a
+correctness/parity path, not a performance path — one sweep costs ~237 ms
+at 10.6k elems vs 15.5 ms for a full converged Newton-PCG step. The sweep
+is a serial chain of ~n_colors fixed-latency ops that per-vertex GPU
+parallelism hides and TPU's wide-vector model does not. Keep group_size
+small (default 4): staler group residuals diverge at omega=1.
 """
 
 from __future__ import annotations
