@@ -301,15 +301,26 @@ step = jax.jit(_step)
 def make_step(system: System, params: NewtonParams, coarse=None):
     """Return a jitted step(state, f_ext) closure over a fixed system.
 
-    coarse: optional `tlfea.solvers.coarse.CoarseSetup` enabling the
-    two-level preconditioner (SVK systems).
+    coarse: optional `tlfea.solvers.coarse.CoarsePrecond` (frozen two-level)
+    or legacy `CoarseSetup`, enabling the two-level preconditioner (SVK
+    systems). Passed into the jit as an ARGUMENT pytree, not a closure
+    constant: closure arrays ride inside the compile request, and the axon
+    remote-compile tunnel rejects bodies past ~100s of MB (HTTP 413) — the
+    dense (na, n) Agg matrix alone is ~300 MB at 100k elems.
     """
 
-    @jax.jit
-    def _f(state, f_ext):
-        return _step(system, state, params, f_ext, coarse)
+    if coarse is None:
+        @jax.jit
+        def _f(state, f_ext):
+            return _step(system, state, params, f_ext, None)
 
-    return _f
+        return _f
+
+    @jax.jit
+    def _fc(state, f_ext, co):
+        return _step(system, state, params, f_ext, co)
+
+    return lambda state, f_ext: _fc(state, f_ext, coarse)
 
 
 def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None,
@@ -333,8 +344,11 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             eps=1e-30,
         )
 
+    # `coarse` enters as a jit ARGUMENT pytree (see make_step: closure
+    # arrays ship inside the remote-compile request and blow the tunnel's
+    # size limit at scale).
     @jax.jit
-    def _roll(state: StepState, f_ext):
+    def _roll(state: StepState, f_ext, co):
         def body(carry, k):
             st, inv_b = carry
             if refresh > 1:
@@ -342,7 +356,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
                     k % refresh == 0, lambda s, b: fresh_inv(s), lambda s, b: b,
                     st, inv_b,
                 )
-            ns, d = _step(system, st, params, f_ext, coarse, inv_blocks=inv_b)
+            ns, d = _step(system, st, params, f_ext, co, inv_blocks=inv_b)
             return (ns, inv_b), (d["newton_iters"], d["cg_iters"])
 
         if refresh > 1:
@@ -352,7 +366,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             )
         else:
             def body1(st, _):
-                ns, d = _step(system, st, params, f_ext, coarse)
+                ns, d = _step(system, st, params, f_ext, co)
                 return ns, (d["newton_iters"], d["cg_iters"])
 
             s, its = jax.lax.scan(body1, state, None, length=n_steps)
@@ -371,7 +385,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             state = state.replace(u=state.x - node_ref(system.elems))
         if state.dv is None:
             state = state.replace(dv=jnp.zeros_like(state.v))
-        return _roll(state, f_ext)
+        return _roll(state, f_ext, coarse)
 
     return roll
 
@@ -382,7 +396,7 @@ def stepper(params, coarse=None):
     may change between calls without retracing."""
 
     @jax.jit
-    def _f(system, state, f_ext):
-        return _step(system, state, params, f_ext, coarse)
+    def _f(system, state, f_ext, co):
+        return _step(system, state, params, f_ext, co)
 
-    return _f
+    return lambda system, state, f_ext: _f(system, state, f_ext, coarse)
