@@ -252,11 +252,14 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
         v_init = state.v + params.predict * state.dv
 
     def outer_body(carry):
-        v, v_prev, lam, k, _, newton_tot, cg_tot, _h = carry
+        v, v_prev, lam, k, _, newton_tot, cg_tot, _h, _ok = carry
         v, n_it, norm_g, cg_it, hist = _newton_inner(
             v, x_prev, v_prev, lam, f_ext, params, system, coarse, inv_blocks,
             u_prev=u_prev,
         )
+        # Inner loop exits either converged or at the iteration budget; a
+        # budget exit means v is NOT the backward-Euler solution this step.
+        ok = n_it < params.max_inner
         v_prev = v
         if cons is not None:
             c = constraint_values(cons, x_prev, v, params.dt, system.elems,
@@ -265,10 +268,10 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
             norm_c = flat_norm(c)
         else:
             norm_c = jnp.zeros((), dtype=v.dtype)
-        return (v, v_prev, lam, k + 1, norm_c, newton_tot + n_it, cg_tot + cg_it, hist)
+        return (v, v_prev, lam, k + 1, norm_c, newton_tot + n_it, cg_tot + cg_it, hist, ok)
 
     def outer_cond(carry):
-        _, _, _, k, norm_c, _, _, _ = carry
+        _, _, _, k, norm_c, _, _, _, _ = carry
         unconverged = jnp.logical_or(k == 0, norm_c >= params.outer_tol)
         return jnp.logical_and(k < params.max_outer, unconverged)
 
@@ -276,15 +279,23 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
     init = (
         v_init, state.v, state.lam, 0,
         jnp.asarray(jnp.inf, dtype=state.v.dtype), 0, 0, hist0,
+        jnp.asarray(False),
     )
-    v, _, lam, outers, norm_c, newton_tot, cg_tot, hist = jax.lax.while_loop(
+    v, _, lam, outers, norm_c, newton_tot, cg_tot, hist, ok = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
     u = u_prev + params.dt * v  # displacement-scale state update (exact)
     # Derived geometry for collision/IO consumers; keeps the state dtype
     # even when u is carried wide (mixed-precision accuracy mode).
     x = (x_ref + u).astype(x_prev.dtype)
-    new_state = StepState(x=x, v=v, lam=lam, u=u, dv=v - state.v)
+    # Warm-start safety: only feed the NEXT step's extrapolation when this
+    # step actually converged. A budget-exhausted solve from a predicted
+    # start feeds its error into the next prediction — measured to compound
+    # into divergence on stiff large-dt runs (beam collapsing 60x past the
+    # static sag). Zeroing dv makes the next step start cold, breaking the
+    # feedback loop at zero extra cost.
+    dv_next = jnp.where(ok, v - state.v, jnp.zeros_like(v))
+    new_state = StepState(x=x, v=v, lam=lam, u=u, dv=dv_next)
     diag = {
         "outer_iters": outers,
         "newton_iters": newton_tot,
