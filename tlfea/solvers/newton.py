@@ -54,6 +54,16 @@ class NewtonParams:
     # halved per converged bench step; the converged solution is unchanged
     # (it's only the iterate's starting point). Set 0.0 to disable.
     predict: jnp.ndarray = 1.0
+    # Trust-region-style step bound: rescale each Newton update so
+    # ||dv||_2 <= max_dv (0 = unbounded, the default). The SVK tangent is
+    # INDEFINITE under strong compression (contact onset); CG's
+    # negative-curvature guard stops iterating but still returns the
+    # partial step, which can be unboundedly bad — one such step was
+    # measured teleporting a self-contact run from vmax 1.5 to 1e19 m/s.
+    # Set to ~10-100x the expected global velocity norm for contact-heavy
+    # scenes. Near the solution updates are small, so a generous bound
+    # never activates and convergence is untouched.
+    max_dv: jnp.ndarray = 0.0
     # Eisenstat-Walker adaptive forcing (choice 2): per-Newton-iteration CG
     # tolerance eta_k = clamp(0.9 (||g_k||/||g_{k-1}||)^2, cg_rtol,
     # ew_eta_max). Early Newton iterations then use loose CG solves (SURVEY
@@ -222,7 +232,17 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
             return jnp.zeros_like(v), jnp.asarray(0, jnp.int32)
 
         dv, cg_iters = jax.lax.cond(conv, skip, do_cg, None)
-        v = v + dv
+        # Bounded step (params.max_dv): rescale pathological CG directions
+        # (indefinite tangent under contact compression) instead of letting
+        # one update teleport the iterate. No-op when max_dv == 0.
+        dv_norm = flat_norm(dv)
+        bound_on = params.max_dv > 0
+        scale = jnp.where(
+            jnp.logical_and(bound_on, dv_norm > params.max_dv),
+            params.max_dv / jnp.maximum(dv_norm, tiny),
+            jnp.ones((), dv.dtype),
+        )
+        v = v + scale * dv
         k = k + jnp.where(conv, 0, 1)
         return (v, k, conv, norm_g_new, norm_g0, norm_g_new, cg_total + cg_iters, hist)
 
