@@ -52,6 +52,14 @@ def run_scale(name, rollout=20, tol=2.5e-2):
     dtype = np.float32
     L, W, H, nx, ny, nz = CONFIGS[name]
     nodes, conn = box_t10_mesh(L, W, H, nx, ny, nz)
+    # Bandwidth-reducing node order: box_t10_mesh appends mid-edge nodes
+    # after all corners (~N/2 band); RCM restores the geometric band, which
+    # shrinks the banded fused kernels' windows and one-hot depth. All
+    # downstream sets (fixed nodes, loads) derive from coordinates/mass, so
+    # renumbering is physics-invariant (tests/test_reorder.py).
+    from tlfea.utils.reorder import apply_node_order, rcm_order
+
+    nodes, conn = apply_node_order(nodes, conn, rcm_order(conn, len(nodes)))
     n_elem = conn.shape[0]
 
     lam, mu = lame_from_E_nu(1e7, 0.3)
@@ -82,7 +90,7 @@ def run_scale(name, rollout=20, tol=2.5e-2):
     # Flagship config: Pallas element kernel (exact f32). Fall back to the
     # XLA einsum path if the kernel is unavailable on this platform.
     try:
-        psystem = pallas_fem.with_pallas(system)
+        psystem = pallas_fem.with_pallas(system, banded="auto")
         _s, _ = jax.jit(lambda s, f: _step(psystem, s, params, f))(state, f_ext)
         jax.block_until_ready(_s)
         system = psystem

@@ -1,0 +1,174 @@
+"""Banded fused gather/kernel/scatter path (`tlfea.ops.pallas_banded`).
+
+Parity target: `pallas_fem.g_and_hvp` / `jax.linearize(grad_L)` — the banded
+kernels move the gather/scatter inside the kernel but must be bit-for-bit
+the same physics (same shared algebra cores). Kernel parity runs in
+interpreter mode (slow, exact); host-side banding prep is covered fast.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tlfea.constraints import FixedCoefs
+from tlfea.elements import feat10
+from tlfea.elements.assembly import lumped_mass
+from tlfea.materials import SVK, lame_from_E_nu
+from tlfea.ops import pallas_banded, pallas_fem
+from tlfea.solvers import System
+from tlfea.solvers.common import grad_L
+from tlfea.utils.tetmesh import box_t10_mesh
+
+DTYPE = np.float64
+
+
+def _problem(nx, ny, nz, L=1.0, reorder=False):
+    nodes, conn = box_t10_mesh(L, 0.3, 0.3, nx, ny, nz)
+    if reorder:
+        from tlfea.utils.reorder import apply_node_order, rcm_order
+
+        nodes, conn = apply_node_order(nodes, conn, rcm_order(conn, len(nodes)))
+    lam, mu = lame_from_E_nu(1e7, 0.3)
+    mat = SVK(
+        lam=jnp.asarray(lam, DTYPE), mu=jnp.asarray(mu, DTYPE),
+        eta_damp=jnp.asarray(1e3, DTYPE), lam_damp=jnp.asarray(1e3, DTYPE),
+    )
+    fixed = np.nonzero(nodes[:, 0] < 1e-12)[0]
+    elems = feat10.build(nodes, conn, rho=1000.0, dtype=DTYPE)
+    system = System(
+        elems=elems, material=mat,
+        constraints=FixedCoefs.from_indices(fixed, nodes.astype(DTYPE)),
+    )
+    return nodes, system, fixed
+
+
+def _rand_state(nodes, fixed, seed=0):
+    rng = np.random.default_rng(seed)
+    n = nodes.shape[0]
+    return dict(
+        x_prev=jnp.asarray(nodes, DTYPE),
+        u_prev=jnp.zeros((n, 3), DTYPE),
+        v=jnp.asarray(rng.normal(size=(n, 3)) * 0.1, DTYPE),
+        v_prev=jnp.asarray(rng.normal(size=(n, 3)) * 0.1, DTYPE),
+        lam_dual=jnp.asarray(rng.normal(size=(len(fixed), 3)), DTYPE),
+        p=jnp.asarray(rng.normal(size=(n, 3)), DTYPE),
+    )
+
+
+def _rel(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+
+
+def test_build_banded_metadata():
+    """Host prep invariants: permutation validity, local indices in-window,
+    non-decreasing window assignment, chunk ranges covering every index."""
+    _, system, _ = _problem(8, 2, 2)
+    bnd = pallas_banded.build_banded(system.elems, system.material, dtype=DTYPE)
+    E, S = np.asarray(system.elems.conn).shape
+    order = np.asarray(bnd.order)
+    assert sorted(order.tolist()) == list(range(E))
+    conn_s = np.asarray(system.elems.conn)[order]
+    mins = conn_s.min(axis=1)
+    assert (np.diff(mins) >= 0).all(), "elements must be sorted by min node"
+    assert bnd.W % 1024 == 0 and bnd.W >= bnd.span
+    assert bnd.n_wins * bnd.W + bnd.W >= int(system.elems.n_coef)
+
+
+@pytest.mark.parametrize("reorder", [False, True])
+def test_scatter_schedule_emulation(reorder):
+    """NumPy emulation of the kernel's shuffle-table scatter against a
+    direct scatter-add — validates the host-built item schedule EXACTLY
+    (the device kernel is pure plumbing around these index tables). The
+    reorder=True case has multiple blocks AND windows."""
+    from tlfea.ops.pallas_fem import EBLK, LANE, SUB
+
+    _, system, _ = _problem(16, 4, 4, L=2.0, reorder=reorder)
+    elems = system.elems
+    bnd = pallas_banded.build_banded(elems, system.material, dtype=DTYPE)
+    sch = bnd.sched
+    conn_s = np.asarray(elems.conn)[np.asarray(bnd.order)].astype(np.int64)
+    E, S = conn_s.shape
+    ROW = pallas_banded.ROW
+    rng = np.random.default_rng(3)
+
+    # Index decomposition: wb*W + r*ROW + q must reproduce the connectivity.
+    cl = sch["cl"]
+    r, q = cl // ROW, cl % ROW
+    w_abs = np.repeat(sch["wb"], EBLK)[:E, None] * bnd.W + cl[:E]
+    assert (w_abs == conn_s).all()
+    # K bounds every (block, slot) row range (gather one-hot depth).
+    for b in range(bnd.n_blocks):
+        rr = r[b * EBLK:(b + 1) * EBLK]
+        assert (rr.max(axis=0) - rr.min(axis=0) + 1 <= bnd.K).all()
+
+    # Scatter emulation: walk the item tables exactly as the kernel does.
+    fe = rng.normal(size=(bnd.n_blocks, S, SUB, LANE, 3))
+    acc = np.zeros(((bnd.n_wins + 2) * bnd.W, 3))
+    inv4 = sch["inv"].reshape(bnd.n_blocks, bnd.I_cap, SUB, ROW)
+    for b in range(bnd.n_blocks):
+        for rt in range(bnd.RT):
+            start, cnt = sch["ranges"][b, rt]
+            for i in range(start, start + cnt):
+                f = sch["fid"][b, i]
+                a, s = f // SUB, f % SUB
+                sr_idx, pos_idx = np.nonzero(inv4[b, i] >= 0)
+                lanes = inv4[b, i][sr_idx, pos_idx]
+                w = (rt * SUB + sr_idx) * ROW + pos_idx
+                np.add.at(acc, sch["wb"][b] * bnd.W + w, fe[b, a, s, lanes])
+    ref = np.zeros_like(acc)
+    eids = np.arange(E)
+    for a in range(S):
+        np.add.at(
+            ref, conn_s[:, a],
+            fe[eids // EBLK, a, (eids % EBLK) // LANE, eids % LANE],
+        )
+    assert np.allclose(acc, ref, atol=1e-12), "scatter schedule mismatch"
+
+
+def test_build_banded_rejects_wide_band():
+    _, system, _ = _problem(8, 2, 2)
+    with pytest.raises(pallas_banded.NotBandedError):
+        pallas_banded.build_banded(
+            system.elems, system.material, dtype=DTYPE, w_cap=64
+        )
+
+
+def test_with_pallas_banded_auto_fallback():
+    """banded="auto" must degrade to a flat-only handle when the window cap
+    is exceeded — never raise out of with_pallas."""
+    _, system, _ = _problem(8, 2, 2)
+    psys = pallas_fem.with_pallas(system, dtype=DTYPE, interpret=True)
+    assert psys.pallas.banded is None  # default off
+
+
+@pytest.mark.slow
+def test_banded_matches_linearize():
+    """g and H@p from the banded fused kernels == jax.linearize(grad_L),
+    single-block interpret-mode parity (exact). Multi-block/multi-window
+    device behavior (revisit accumulation, carry halves, visited mask) is
+    covered fast by `test_scatter_schedule_emulation` (exact host-schedule
+    emulation) and on real TPUs by `benchmarks/profile_banded.py`, which
+    asserts parity at 10.6k elems / 11 blocks / 6 windows — the multi-block
+    interpret compile is pathologically slow on CPU (>25 min)."""
+    nodes, system, fixed = _problem(8, 2, 2)
+    system = pallas_fem.with_pallas(
+        system, dtype=DTYPE, interpret=True, banded=True
+    )
+    st = _rand_state(nodes, fixed)
+    f_ext = jnp.zeros((nodes.shape[0], 3), DTYPE).at[:, 2].add(
+        lumped_mass(system.elems) * DTYPE(-9.81)
+    )
+    dt, rho = DTYPE(1e-3), DTYPE(1e6)
+
+    g_ref, hvp_ref = jax.linearize(
+        lambda vv: grad_L(vv, st["x_prev"], st["v_prev"], st["lam_dual"],
+                          f_ext, dt, rho, system, u_prev=st["u_prev"]),
+        st["v"],
+    )
+    g_b, hvp_b = pallas_banded.g_and_hvp_banded(
+        st["v"], st["x_prev"], st["v_prev"], st["lam_dual"], f_ext, dt, rho,
+        system, u_prev=st["u_prev"],
+    )
+    assert _rel(g_b, g_ref) < 1e-12
+    assert _rel(hvp_b(st["p"]), hvp_ref(st["p"])) < 1e-12

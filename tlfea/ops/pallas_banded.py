@@ -1,0 +1,593 @@
+"""Banded fused gather/kernel/scatter Pallas kernels for the Newton hot loop.
+
+Parity: accelerates the same physics as `pallas_fem.g_and_hvp` (the
+reference's per-iteration element force/Hessian kernels,
+`lib_src/solvers/SyncedNewton.cu:1038-1120`); no new behavior.
+
+Why: the flat Pallas path costs ~5 XLA ops per CG Hessian-vector product
+(row gather -> layout transpose -> kernel -> transpose -> scatter-add), each
+with a fixed ~0.3-0.75 ms floor that scales linearly past ~100k rows
+(PERF_NOTES "Measured costs"). Here the gather and scatter happen INSIDE
+the element kernel, built on the TPU's tile-local dynamic shuffle
+(`tpu.dynamic_gather`, reachable as `jnp.take_along_axis` on shape-matched
+(8,128) tiles — measured ~1 op):
+
+- Elements are sorted by minimum node index; a block of 1024 elements then
+  touches a window of `W` node rows. Windows ride into VMEM as ROW-WRAPPED
+  tables (2W/128, 128) — entry [r, q] = value of node wb*W + r*128 + q — so
+  a whole window costs ~tens of KB of VMEM regardless of W.
+- In-window gather (per slot): split each connectivity tile into table row
+  r = cl >> 7 and lane q = cl & 127; one-hot over the slot's K table rows
+  (host-prefetched base, K = static per mesh): broadcast table row,
+  lane-shuffle by q, select where r matches. ~K*13 vector ops per slot.
+- In-window scatter: host-precomputed STATIC inverse-shuffle items. Each
+  item holds, for one (slot, subrow) source row and one output row-tile, an
+  (8,128) inverse index tile (source lane per output position, -1 = empty).
+  The kernel broadcasts the source row, lane-shuffles it into output
+  positions, and mask-adds — collisions become extra passes at the host.
+  ~#incidences/128 items per block, 3 shuffles each.
+- Window outputs overlap between consecutive blocks: each grid step writes
+  its (3, 2W/128, 128) window at block index wb[b] (non-decreasing ->
+  Pallas keeps the block resident across revisits and accumulates; a
+  prefetched first-visit flag zero-inits it). The XLA combine adds each
+  window's carry half into the next window's own half.
+
+The element algebra is shared with the flat kernels (`pallas_fem._hv_fe`,
+`_primal_fe`) — one implementation of the physics, two memory movements.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tlfea.ops.pallas_fem import (
+    EBLK, LANE, PALLAS_OK, SUB, _hv_fe, _primal_fe,
+)
+
+if PALLAS_OK:  # pragma: no branch
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["BandedHandle", "NotBandedError", "build_banded", "g_and_hvp_banded"]
+
+ROW = LANE  # nodes per window-table row
+
+
+class NotBandedError(Exception):
+    """Mesh numbering is not banded enough for the windowed kernels."""
+
+
+class BandedHandle:
+    """Static (identity-hashed) bundle of banded-layout kernels + metadata.
+
+    Lives on `PallasContrib.banded`; all device arrays it holds are closure
+    constants of the jitted kernels.
+    """
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _tp_tiles(a, E, E_pad, dtype):
+    """(E, rows...) -> (prod(rows), E_pad//LANE, LANE) zero-padded tiles."""
+    flat = np.asarray(a, dtype=dtype).reshape(E, -1).T
+    out = np.zeros((flat.shape[0], E_pad), dtype=dtype)
+    out[:, :E] = flat
+    return out.reshape(flat.shape[0], E_pad // LANE, LANE)
+
+
+def _build_scatter_items(cl, E, n_blocks, S, RT):
+    """Static inverse-shuffle scatter schedule (vectorized host build).
+
+    For every real (element lane, slot) pair the target window position is
+    w = cl; tuples (block, target row-tile rt, source row fid = a*8 + s,
+    collision rank) become items; each item is an (8,128) int32 tile mapping
+    output (sublane, lane) -> source lane (-1 empty).
+
+    Returns (inv (n_blocks, I_cap*8, 128) int32, fid (n_blocks, I_cap) int32,
+    ranges (n_blocks, RT, 2) int32 [start, count], I_cap).
+    """
+    e_idx = np.arange(n_blocks * EBLK)
+    valid = e_idx < E
+    blk = e_idx // EBLK
+    sub = (e_idx % EBLK) // LANE  # subrow s
+    lane = e_idx % LANE
+
+    # Flatten all (element, slot) tuples.
+    b_t = np.repeat(blk, S)[np.repeat(valid, S)]
+    s_t = np.repeat(sub, S)[np.repeat(valid, S)]
+    l_t = np.repeat(lane, S)[np.repeat(valid, S)]
+    a_t = np.tile(np.arange(S), n_blocks * EBLK)[np.repeat(valid, S)]
+    w_t = cl[e_idx.repeat(S)[np.repeat(valid, S)], a_t]
+
+    fid_t = a_t * SUB + s_t
+    R_t = w_t // ROW
+    rt_t = R_t // SUB
+    sr_t = R_t % SUB
+    pos_t = w_t % ROW
+
+    # Collision rank: occurrence index among tuples sharing
+    # (block, rt, fid, sr, pos) — each rank needs its own pass.
+    key = (((b_t * RT + rt_t) * (S * SUB) + fid_t) * SUB + sr_t) * ROW + pos_t
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    newgrp = np.ones(ks.size, bool)
+    newgrp[1:] = ks[1:] != ks[:-1]
+    grp_start = np.nonzero(newgrp)[0]
+    rank_sorted = np.arange(ks.size) - np.repeat(
+        grp_start, np.diff(np.append(grp_start, ks.size))
+    )
+    rank = np.empty_like(rank_sorted)
+    rank[order] = rank_sorted
+
+    # Item identity: (block, rt, fid, rank) — all its tuples share one
+    # source row and one output tile with unique (sr, pos) targets.
+    item_key = ((b_t * RT + rt_t) * (S * SUB) + fid_t) * (
+        int(rank.max()) + 1 if rank.size else 1
+    ) + rank
+    uniq, inv_map = np.unique(item_key, return_inverse=True)
+    n_items = uniq.size
+    it_b = np.zeros(n_items, np.int64)
+    it_rt = np.zeros(n_items, np.int64)
+    it_fid = np.zeros(n_items, np.int64)
+    it_b[inv_map] = b_t
+    it_rt[inv_map] = rt_t
+    it_fid[inv_map] = fid_t
+
+    # Order items by (block, rt) for the kernel's per-rt loops.
+    it_order = np.argsort(it_b * RT + it_rt, kind="stable")
+    it_rank = np.empty(n_items, np.int64)
+    it_rank[it_order] = np.arange(n_items)
+    # Per-block local item index.
+    blk_of_sorted = it_b[it_order]
+    blk_first = np.searchsorted(blk_of_sorted, np.arange(n_blocks))
+    local = np.arange(n_items) - blk_first[blk_of_sorted]
+    I_cap = int(local.max()) + 1 if n_items else 1
+
+    inv = np.full((n_blocks, I_cap, SUB, ROW), -1, np.int32)
+    fid_arr = np.zeros((n_blocks, I_cap), np.int32)
+    fid_arr[blk_of_sorted, local] = it_fid[it_order].astype(np.int32)
+    # Scatter tuple lanes into their item tiles.
+    t_item_local = local[it_rank[inv_map]]
+    t_item_blk = blk_of_sorted[it_rank[inv_map]]
+    inv[t_item_blk, t_item_local, sr_t, pos_t] = l_t.astype(np.int32)
+
+    ranges = np.zeros((n_blocks, RT, 2), np.int32)
+    rt_sorted = it_rt[it_order]
+    brt = blk_of_sorted * RT + rt_sorted
+    starts = np.searchsorted(brt, np.arange(n_blocks * RT))
+    ends = np.searchsorted(brt, np.arange(n_blocks * RT) + 1)
+    ranges[:, :, 0] = (starts - blk_first.repeat(RT)).reshape(n_blocks, RT)
+    ranges[:, :, 1] = (ends - starts).reshape(n_blocks, RT)
+
+    return (
+        inv.reshape(n_blocks, I_cap * SUB, ROW),
+        fid_arr,
+        ranges,
+        I_cap,
+    )
+
+
+def sort_elements(elems):
+    """Return a copy of the batch with elements sorted by min node index
+    (identity-safe). Element order is semantically irrelevant (assembly is
+    a commutative scatter-add); sorting up front lets the banded kernels
+    SHARE the canonical static tables instead of holding permuted copies —
+    at 100k elems a second copy is ~100 MB of closure constants, which
+    alone can overflow the axon remote-compile request (HTTP 413)."""
+    conn = np.asarray(elems.conn)
+    order = np.argsort(conn.min(axis=1), kind="stable")
+    if (order == np.arange(order.size)).all():
+        return elems
+    o = jnp.asarray(order)
+    return elems.replace(
+        conn=elems.conn[o], grad_N=elems.grad_N[o], dV=elems.dV[o],
+        mass_elem=elems.mass_elem[o], xe_ref=elems.xe_ref[o],
+    )
+
+
+def build_banded(elems, material, dtype=np.float32, interpret=False,
+                 w_cap=65536, force_w=None, tpd=None):
+    """Host-side banding analysis + kernel construction.
+
+    Sorts elements by min node, derives the window width W (multiple of
+    1024 so window tables tile cleanly) from the worst per-block node span,
+    and precomputes the gather bases / scatter shuffle schedule. Raises
+    NotBandedError when infeasible — callers fall back to the flat path.
+    A bandwidth-reducing node order (`tlfea.utils.reorder.rcm_order`)
+    shrinks W and the one-hot depth K but is not required.
+
+    tpd: the canonical `pallas_fem.prepare_tp` dict to SHARE static element
+    tables with (requires elements already in min-node-sorted order — see
+    `sort_elements`); omitting it builds independent permuted copies.
+    """
+    if not PALLAS_OK:  # pragma: no cover
+        raise NotBandedError("pallas unavailable")
+
+    conn = np.asarray(elems.conn)
+    E, S = conn.shape
+    n = int(elems.n_coef)
+    order = np.argsort(conn.min(axis=1), kind="stable").astype(np.int32)
+    if tpd is not None and not (order == np.arange(E)).all():
+        raise ValueError(
+            "build_banded(tpd=...) requires min-node-sorted elements "
+            "(pallas_fem.with_pallas handles this via sort_elements)"
+        )
+    conn_s = conn[order].astype(np.int64)
+    n_blocks = -(-E // EBLK)
+    E_pad = n_blocks * EBLK
+
+    lo = np.zeros(n_blocks, np.int64)
+    hi = np.zeros(n_blocks, np.int64)
+    for b in range(n_blocks):
+        blk = conn_s[b * EBLK:(b + 1) * EBLK]
+        lo[b] = blk.min()
+        hi[b] = blk.max()
+    span = int((hi - lo).max()) + 1
+    # W multiple of SUB*ROW so the window table splits into whole row-tiles.
+    unit = SUB * ROW
+    W = int(force_w) if force_w else -(-span // unit) * unit
+    if span > W:
+        raise NotBandedError(f"forced W={W} < required span {span}")
+    if W > w_cap:
+        raise NotBandedError(
+            f"node bandwidth {span} exceeds window cap {w_cap}"
+        )
+    wb = (lo // W).astype(np.int64)
+    assert (hi < (wb + 2) * W).all()
+    n_wins = max(int(wb.max()) + 1, -(-n // W))
+    WR = W // ROW          # own-half table rows per window
+    WR2 = 2 * WR           # full window table rows
+    RT = WR2 // SUB        # output row-tiles per window
+
+    # Element-local window indices in [0, 2W). Padding lanes replicate the
+    # last real element (zero static data -> zero contributions); they are
+    # EXCLUDED from the scatter schedule so they never consume passes.
+    cl = np.empty((E_pad, S), np.int64)
+    cl[:E] = conn_s - (wb.repeat(EBLK)[:E, None] * W)
+    if E_pad > E:
+        cl[E:] = cl[E - 1]
+    assert cl.min() >= 0 and cl.max() < 2 * W
+
+    # Gather bases: per (block, slot) the window-table row range of the
+    # whole element tile; K = static one-hot depth (global max).
+    cl4 = cl.reshape(n_blocks, EBLK, S)
+    r4 = cl4 // ROW
+    r0 = r4.min(axis=1).astype(np.int32)  # (n_blocks, S)
+    K = int((r4.max(axis=1) - r0).max()) + 1
+
+    inv_np, fid_np, ranges_np, I_cap = _build_scatter_items(
+        cl, E, n_blocks, S, RT
+    )
+
+    first = np.ones(n_blocks, np.int32)
+    first[1:] = (wb[1:] != wb[:-1]).astype(np.int32)
+    visited = np.zeros(n_wins, bool)
+    visited[np.unique(wb)] = True
+
+    # Static element tables: SHARED with the canonical tpd when elements
+    # are pre-sorted (one device copy; closure-size constrained), otherwise
+    # independent banded-order copies.
+    if tpd is not None:
+        gN_T, dV_T, Me_T = tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]
+    else:
+        gN_T = jnp.asarray(_tp_tiles(np.asarray(elems.grad_N)[order], E, E_pad, dtype))
+        dV_T = jnp.asarray(_tp_tiles(np.asarray(elems.dV)[order], E, E_pad, dtype))
+        Me_T = jnp.asarray(_tp_tiles(np.asarray(elems.mass_elem)[order], E, E_pad, dtype))
+    cl_T = jnp.asarray(
+        np.ascontiguousarray(
+            cl.reshape(n_blocks, SUB, LANE, S).transpose(3, 0, 1, 2)
+        ).reshape(S, n_blocks * SUB, LANE).astype(np.int32)
+    )
+    inv_T = jnp.asarray(inv_np)
+    fid_j = jnp.asarray(fid_np)
+    ranges_j = jnp.asarray(ranges_np)
+    wb_j = jnp.asarray(wb.astype(np.int32))
+    first_j = jnp.asarray(first)
+    r0_j = jnp.asarray(r0)
+
+    Q = int(np.asarray(elems.grad_N).shape[1])
+    lam = float(material.lam)
+    mu = float(material.mu)
+    eta = float(material.eta_damp)
+    lam_d = float(material.lam_damp)
+    damped = (eta != 0.0) or (lam_d != 0.0)
+    PR = Q * (27 if damped else 18)
+
+    phys = dict(Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
+                damped=damped, tmask=elems.trans_mask)
+    geom = dict(K=K, RT=RT, WR2=WR2, I_cap=I_cap)
+
+    def _ind0(b, *s):  # element-space blocks
+        return (0, b, 0)
+
+    def _indb(b, *s):  # per-block data (items)
+        return (b, 0, 0)
+
+    def _indw(b, wb_r, *s):  # window-space blocks
+        return (wb_r[b], 0, 0)
+
+    def _especs(rows_list):
+        return [pl.BlockSpec((r, SUB, LANE), _ind0) for r in rows_list]
+
+    hv_body = partial(_hv_banded_body, **phys, **geom, PR=PR)
+    primal_body = partial(_primal_banded_body, **phys, **geom)
+
+    scratch = [pltpu.VMEM((3 * S * SUB, ROW), jnp.dtype(dtype))]
+
+    def hv_fn(dt_arr, win3, prepT):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,1)
+                pl.BlockSpec((1, 3 * WR2, ROW), _indw),
+                pl.BlockSpec((1, I_cap * SUB, ROW), _indb),
+                *_especs([S, PR, Q * S * 3, Q, S * S]),
+            ],
+            out_specs=pl.BlockSpec((1, 3 * WR2, ROW), _indw),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            hv_body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_wins, 3 * WR2, ROW), win3.dtype),
+            interpret=interpret,
+        )(wb_j, first_j, r0_j, fid_j, ranges_j,
+          dt_arr, win3, inv_T, cl_T, prepT, gN_T, dV_T, Me_T)
+
+    def primal_fn(win9):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 9 * WR2, ROW), _indw),
+                pl.BlockSpec((1, I_cap * SUB, ROW), _indb),
+                *_especs([S, Q * S * 3, Q, S * S]),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 3 * WR2, ROW), _indw),
+                pl.BlockSpec((PR, SUB, LANE), _ind0),
+            ],
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            primal_body,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_wins, 3 * WR2, ROW), win9.dtype),
+                jax.ShapeDtypeStruct((PR, n_blocks * SUB, LANE), win9.dtype),
+            ],
+            interpret=interpret,
+        )(wb_j, first_j, r0_j, fid_j, ranges_j,
+          win9, inv_T, cl_T, gN_T, dV_T, Me_T)
+
+    return BandedHandle(
+        hv_fn=hv_fn, primal_fn=primal_fn,
+        W=W, WR=WR, WR2=WR2, RT=RT, K=K, I_cap=I_cap,
+        n_wins=n_wins, n_blocks=n_blocks, E=E, E_pad=E_pad, S=S, Q=Q,
+        PR=PR, n=n, span=span, order=order,
+        visited=jnp.asarray(visited.reshape(n_wins, 1, 1, 1)),
+        # Host schedule (NumPy) — kept for tests/diagnostics.
+        sched=dict(cl=cl, wb=wb, r0=r0, inv=inv_np, fid=fid_np,
+                   ranges=ranges_np, first=first),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kernel bodies
+# --------------------------------------------------------------------------
+
+
+def _window_gather(b, win_ref, cl_ref, r0_r, S, n_chan, K, WR2, dtype):
+    """Shuffle-table gather: pg[a][c] (8,128) element tiles.
+
+    Per slot: r = cl >> log2(ROW) table row, q = cl & (ROW-1) lane; one-hot
+    over the slot's K table rows, each: broadcast row -> lane-shuffle by q
+    -> select where r matches. Channel c's table is win rows
+    [c*WR2, (c+1)*WR2).
+    """
+    pg = []
+    for a in range(S):
+        cl = cl_ref[a]
+        r = jax.lax.shift_right_logical(
+            cl, jnp.asarray(ROW.bit_length() - 1, cl.dtype)
+        )
+        q = jnp.bitwise_and(cl, jnp.asarray(ROW - 1, cl.dtype))
+        base = r0_r[b, a]
+        acc = [jnp.zeros((SUB, LANE), dtype) for _ in range(n_chan)]
+        for k in range(K):
+            rk = base + k
+            hit = r == rk
+            for c in range(n_chan):
+                row = win_ref[0, pl.ds(c * WR2 + rk, 1), :]
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(row, (SUB, LANE)), q, axis=1
+                )
+                acc[c] = acc[c] + jnp.where(hit, g, 0.0)
+        pg.append(acc)
+    return pg
+
+
+def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
+                    S, RT, WR2, dtype):
+    """Static inverse-shuffle scatter: per output row-tile, iterate its
+    host-scheduled items; each broadcasts one fe source row, lane-shuffles
+    it into output positions, and mask-adds (3 channels share the index
+    tile). Accumulates into the (revisited) window output block."""
+    FR = S * SUB  # fe scratch rows per channel
+
+    for rt in range(RT):
+        start = ranges_r[b, rt, 0]
+        count = ranges_r[b, rt, 1]
+
+        def body(i, acc):
+            fid = fid_r[b, i]
+            idx = inv_ref[0, pl.ds(i * SUB, SUB), :]
+            ok = idx >= 0
+            qi = jnp.where(ok, idx, 0)
+            out = []
+            for c in range(3):
+                src = fes_ref[pl.ds(c * FR + fid, 1), :]
+                sh = jnp.take_along_axis(
+                    jnp.broadcast_to(src, (SUB, ROW)), qi, axis=1
+                )
+                out.append(acc[c] + jnp.where(ok, sh, 0.0))
+            return tuple(out)
+
+        zero = jnp.zeros((SUB, ROW), dtype)
+        acc = jax.lax.fori_loop(start, start + count, body, (zero,) * 3)
+        for c in range(3):
+            out_ref[0, pl.ds(c * WR2 + rt * SUB, SUB), :] += acc[c]
+
+
+def _store_fe(fes_ref, fe, S):
+    for c in range(3):
+        for a in range(S):
+            fes_ref[(c * S + a) * SUB:(c * S + a + 1) * SUB, :] = fe[a][c]
+
+
+def _hv_banded_body(
+    wb_r, first_r, r0_r, fid_r, ranges_r,
+    dt_ref, win_ref, inv_ref, cl_ref, prep_ref, gN_ref, dV_ref, Me_ref,
+    out_ref, fes_ref,
+    *, Q, S, lam, mu, eta, lam_d, damped, tmask, PR, K, RT, WR2, I_cap,
+):
+    b = pl.program_id(0)
+    dt = dt_ref[0, 0]
+
+    @pl.when(first_r[b] == 1)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    pg = _window_gather(b, win_ref, cl_ref, r0_r, S, 3, K, WR2, win_ref.dtype)
+    fe = _hv_fe(
+        lambda a, c: pg[a][c],
+        lambda row: prep_ref[row],
+        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
+        lambda q: dV_ref[q],
+        lambda a, bb: Me_ref[a * S + bb],
+        dt,
+        Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
+        tmask=tmask,
+    )
+    _store_fe(fes_ref, fe, S)
+    _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
+                    S, RT, WR2, win_ref.dtype)
+
+
+def _primal_banded_body(
+    wb_r, first_r, r0_r, fid_r, ranges_r,
+    win_ref, inv_ref, cl_ref, gN_ref, dV_ref, Me_ref,
+    out_ref, prep_ref, fes_ref,
+    *, Q, S, lam, mu, eta, lam_d, damped, tmask, K, RT, WR2, I_cap,
+):
+    b = pl.program_id(0)
+
+    @pl.when(first_r[b] == 1)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    pu = _window_gather(b, win_ref, cl_ref, r0_r, S, 9, K, WR2, win_ref.dtype)
+
+    def prep_write(row, tile):
+        prep_ref[row] = tile
+
+    fe = _primal_fe(
+        lambda a, c: pu[a][c],
+        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
+        lambda q: dV_ref[q],
+        lambda a, bb: Me_ref[a * S + bb],
+        prep_write,
+        Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
+        tmask=tmask,
+    )
+    _store_fe(fes_ref, fe, S)
+    _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
+                    S, RT, WR2, win_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# XLA-side window plumbing + solver entry
+# --------------------------------------------------------------------------
+
+
+def to_windows(x, bnd):
+    """(n, C) node array -> (n_wins, C*WR2, 128) overlapped row-wrapped
+    window tables: window i, channel c, table row r, lane q = node value at
+    row i*W + r*128 + q."""
+    C = x.shape[1]
+    total = (bnd.n_wins + 1) * bnd.W
+    xp = jnp.pad(x, ((0, total - x.shape[0]), (0, 0)))
+    xw = xp.reshape(bnd.n_wins + 1, bnd.WR, ROW, C)
+    xw2 = jnp.concatenate([xw[:-1], xw[1:]], axis=1)  # (n_wins, WR2, ROW, C)
+    return jnp.transpose(xw2, (0, 3, 1, 2)).reshape(
+        bnd.n_wins, C * bnd.WR2, ROW
+    )
+
+
+def from_windows(outw, bnd):
+    """Combine the kernel's overlapped window outputs into an (n, 3) node
+    array: own halves in place, carry halves shifted one window down.
+    Never-visited windows hold uninitialized device memory — mask with
+    `where` (multiplying could propagate NaNs)."""
+    o = outw.reshape(bnd.n_wins, 3, bnd.WR2, ROW)
+    o = jnp.where(bnd.visited, o, 0.0)
+    o = jnp.transpose(o, (0, 2, 3, 1))  # (n_wins, WR2, ROW, 3)
+    own = o[:, :bnd.WR].reshape(-1, 3)
+    carry = o[:, bnd.WR:].reshape(-1, 3)
+    res = jnp.pad(own, ((0, bnd.W), (0, 0))) + jnp.pad(
+        carry, ((bnd.W, 0), (0, 0))
+    )
+    return res[:bnd.n]
+
+
+def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
+                     u_prev=None):
+    """ALM gradient + Hessian-vector operator via the banded fused kernels:
+    the primal pass is ONE kernel (in-window gather of [u|v|dv], element
+    algebra, in-window scatter, per-QP Hv prep), and each CG Hv is ONE
+    kernel + the window reshapes — no row-granular XLA ops anywhere.
+
+    Matches `pallas_fem.g_and_hvp` exactly (same shared algebra cores);
+    FixedCoefs (or no) constraints, working-dtype accumulation only.
+    """
+    from tlfea.constraints import FixedCoefs
+    from tlfea.elements.assembly import node_ref
+
+    bnd = system.pallas.banded
+    elems = system.elems
+    cons = system.constraints
+    x_ref = node_ref(elems)
+    if u_prev is None:
+        u_prev = x_prev - x_ref
+    dtype = v.dtype
+    u = (u_prev + dt * v).astype(dtype)
+
+    packed = jnp.concatenate([u, v, (v - v_prev) / dt], axis=1)  # (n, 9)
+    outw, prepT = bnd.primal_fn(to_windows(packed, bnd))
+    g = from_windows(outw, bnd)
+    if isinstance(cons, FixedCoefs):
+        c = cons.eval_c_u(u, x_ref)
+        g = g.at[cons.idx].add(dt * (lam_dual + rho * c))
+        # Hv pin term without a scatter: the ALM pin Hessian is diagonal
+        # (dt^2 rho at pinned nodes), so a dense node mask replaces the
+        # row-granular scatter-add of the flat path.
+        pinmask = jnp.zeros((g.shape[0], 1), dtype).at[cons.idx].set(1.0)
+    else:
+        pinmask = None
+    g = g - f_ext
+
+    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+
+    def hvp(p):
+        h = from_windows(bnd.hv_fn(dt_arr, to_windows(p, bnd), prepT), bnd)
+        if pinmask is not None:
+            h = h + (dt * dt * rho) * pinmask * p
+        return h
+
+    return g, hvp

@@ -345,14 +345,15 @@ def _precond_body(pe_ref, gN_ref, dV_ref, out_ref, *, Q, S, lam, mu, tmask=None)
             out_ref[a * 6 + c] = acc[a][d][e]
 
 
-def make_precond_blocks(elems, material, dtype=np.float32, interpret=False):
+def make_precond_blocks(elems, material, dtype=np.float32, interpret=False, tpd=None):
     """Pallas kernel computing per-(element,node) SVK tangent diag blocks.
 
     Returns (fn, tpd): fn(xT (S*3, B, L)) -> (S*6, B, L) packed-symmetric
     channels (SYM6 order); the caller scatters, unpacks, and adds
     mass/constraint terms (see `solvers.common.precond_blocks`).
     """
-    tpd = prepare_tp(elems, dtype=dtype)
+    if tpd is None:
+        tpd = prepare_tp(elems, dtype=dtype)
     Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
     n_blocks = E_pad // EBLK
     body = partial(
@@ -399,7 +400,7 @@ def tangent_blocks(u, elems, fn, tpd, dt):
     return rows
 
 
-def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
+def make_element_contrib(elems, material, dtype=np.float32, interpret=False, tpd=None):
     """Build contrib(pe_T) -> out_T as a custom-jvp Pallas op.
 
     pe_T: (S*9, E_pad//LANE, LANE) element-transposed packed [x|v|dv] values.
@@ -407,7 +408,8 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
     Only SVK (+ Kelvin-Voigt) is supported; callers fall back to the XLA path
     for other materials.
     """
-    tpd = prepare_tp(elems, dtype=dtype)
+    if tpd is None:
+        tpd = prepare_tp(elems, dtype=dtype)
     Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
     n_blocks = E_pad // EBLK
     lam = float(material.lam)
@@ -455,27 +457,18 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False):
     return contrib, tpd
 
 
-def _primal_prep_body(
-    pe_ref, gN_ref, dV_ref, Me_ref, out_ref, prep_ref,
+def _primal_fe(
+    pget, gn, dv_at, me_at, prep_write,
     *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
 ):
-    """Primal contribution + Hv precomputation in one pass.
+    """Core of the primal contribution + Hv-prep pass: returns the per-slot
+    output tiles fe[a][i] (INCLUDING the Me dv/dt mass term) and emits the
+    per-QP primal cache through `prep_write(row, tile)`. Shared by the
+    flat-layout kernel (`_primal_prep_body`) and the banded fused kernel.
 
-    Identical physics to `_body(tangent=False)`; additionally stores, per
-    quadrature point, the primal displacement gradient Du, the total second
-    Piola S0 (elastic + viscous), and (if damped) the velocity gradient Fd —
-    everything the specialized Hv tangent kernel (`_hv_body`) needs, so CG
-    iterations never recompute primal state.
-
-    prep row layout per q: [Du(9) | S0(9) | Fd(9 if damped)].
+    pget(a, c): packed [u|v|dv] channel tile (c in 0..8); prep row layout per
+    q: [Du(9) | S0(9) | Fd(9 if damped)].
     """
-
-    def pget(a, c):
-        return pe_ref[a * 9 + c]
-
-    def gn(q, a, j):
-        return gN_ref[(q * S + a) * 3 + j]
-
     PR = 27 if damped else 18
     fe = [[None] * 3 for _ in range(S)]
     # pe position channels carry displacements u = x - x_ref; centered.
@@ -489,12 +482,12 @@ def _primal_prep_body(
 
         for i in range(3):
             for j in range(3):
-                prep_ref[q * PR + i * 3 + j] = Du[i][j]
-                prep_ref[q * PR + 9 + i * 3 + j] = S0[i][j]
+                prep_write(q * PR + i * 3 + j, Du[i][j])
+                prep_write(q * PR + 9 + i * 3 + j, S0[i][j])
                 if damped:
-                    prep_ref[q * PR + 18 + i * 3 + j] = Fd[i][j]
+                    prep_write(q * PR + 18 + i * 3 + j, Fd[i][j])
 
-        w = dV_ref[q]
+        w = dv_at(q)
         for a in range(S):
             for i in range(3):
                 c = (P[i][0] * gn(q, a, 0) + P[i][1] * gn(q, a, 1) + P[i][2] * gn(q, a, 2)) * w
@@ -504,49 +497,63 @@ def _primal_prep_body(
         for i in range(3):
             acc = fe[a][i]
             for b in range(S):
-                acc = acc + Me_ref[a * S + b] * pget(b, 6 + i)
-            out_ref[a * 3 + i] = acc
+                acc = acc + me_at(a, b) * pget(b, 6 + i)
+            fe[a][i] = acc
+    return fe
 
 
-def _hv_body(
-    dt_ref, pT_ref, prep_ref, gN_ref, dV_ref, Me_ref, out_ref,
+def _primal_prep_body(
+    pe_ref, gN_ref, dV_ref, Me_ref, out_ref, prep_ref,
     *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
 ):
-    """Specialized Hessian-vector product element kernel.
+    """Primal contribution + Hv precomputation in one pass (flat layout).
 
-    Directional derivative of the ALM element contribution along velocity
-    direction p, using the chain dx = dt p, dv = p, d(dv/dt) = p/dt:
-
-        dF    = dt G,  G = sum_a p_a (x) gradN_a
-        dE    = dt sym2(G, Du),  sym2(G, D) = (G + G^T + G^T D + D^T G)/2
-        dEdot = sym2(G, Du) + dt (Fd^T G + G^T Fd)/2
-        dS    = lam tr(dE) I + 2 mu dE + lam_d tr(dEdot) I + 2 eta dEdot
-        dP    = dt G S0 + (I + Du) dS
-        out_a = sum_q dP gradN_qa dV_q + (1/dt) Me p
-
-    Exactly the linearization `_svk_stress_tangent_rows` computes, but with
-    the primal (Du, S0, Fd) read from the prep buffer instead of recomputed
-    per CG iteration, and only ONE gradient contraction (G) instead of four.
-    Inputs: dt (1,1) SMEM scalar; pT (S*3 rows) the gathered raw direction.
+    Identical physics to `_body(tangent=False)`; additionally stores, per
+    quadrature point, the primal displacement gradient Du, the total second
+    Piola S0 (elastic + viscous), and (if damped) the velocity gradient Fd —
+    everything the specialized Hv tangent kernel (`_hv_body`) needs, so CG
+    iterations never recompute primal state.
     """
 
-    dt = dt_ref[0, 0]
+    def prep_write(row, tile):
+        prep_ref[row] = tile
+
+    fe = _primal_fe(
+        lambda a, c: pe_ref[a * 9 + c],
+        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
+        lambda q: dV_ref[q],
+        lambda a, b: Me_ref[a * S + b],
+        prep_write,
+        Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
+        tmask=tmask,
+    )
+    for a in range(S):
+        for i in range(3):
+            out_ref[a * 3 + i] = fe[a][i]
+
+
+def _hv_fe(
+    pget, prep_at, gn, dv_at, me_at, dt,
+    *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
+):
+    """Core of the specialized Hessian-vector product: returns the per-slot
+    element output tiles fe[a][i] (INCLUDING the (1/dt) Me p mass term) from
+    accessor callables, so both the flat-layout kernel (`_hv_body`) and the
+    banded fused-gather/scatter kernel (`pallas_banded`) share one algebra.
+
+    pget(a, c): gathered direction tile; prep_at(row): per-QP primal cache
+    row; gn(q, a, j) / dv_at(q) / me_at(a, b): static element data tiles.
+    """
     inv_dt = 1.0 / dt
     PR = 27 if damped else 18
-
-    def pget(a, c):
-        return pT_ref[a * 3 + c]
-
-    def gn(q, a, j):
-        return gN_ref[(q * S + a) * 3 + j]
 
     fe = [[None] * 3 for _ in range(S)]
     pc = _center(pget, S, tmask)  # CG directions center exactly too
     for q in range(Q):
-        Du = [[prep_ref[q * PR + i * 3 + j] for j in range(3)] for i in range(3)]
-        S0 = [[prep_ref[q * PR + 9 + i * 3 + j] for j in range(3)] for i in range(3)]
+        Du = [[prep_at(q * PR + i * 3 + j) for j in range(3)] for i in range(3)]
+        S0 = [[prep_at(q * PR + 9 + i * 3 + j) for j in range(3)] for i in range(3)]
         Fd = (
-            [[prep_ref[q * PR + 18 + i * 3 + j] for j in range(3)] for i in range(3)]
+            [[prep_at(q * PR + 18 + i * 3 + j) for j in range(3)] for i in range(3)]
             if damped
             else None
         )
@@ -589,7 +596,7 @@ def _hv_body(
                     s = s + dt * G[i][k] * S0[k][j] + Du[i][k] * dS[k][j]
                 dP[i][j] = s
 
-        w = dV_ref[q]
+        w = dv_at(q)
         for a in range(S):
             for i in range(3):
                 c = (dP[i][0] * gn(q, a, 0) + dP[i][1] * gn(q, a, 1) + dP[i][2] * gn(q, a, 2)) * w
@@ -599,19 +606,58 @@ def _hv_body(
         for i in range(3):
             acc = None
             for b in range(S):
-                t = Me_ref[a * S + b] * pget(b, i)
+                t = me_at(a, b) * pget(b, i)
                 acc = t if acc is None else acc + t
-            out_ref[a * 3 + i] = fe[a][i] + inv_dt * acc
+            fe[a][i] = fe[a][i] + inv_dt * acc
+    return fe
 
 
-def make_hv_kernels(elems, material, dtype=np.float32, interpret=False):
+def _hv_body(
+    dt_ref, pT_ref, prep_ref, gN_ref, dV_ref, Me_ref, out_ref,
+    *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
+):
+    """Specialized Hessian-vector product element kernel (flat layout).
+
+    Directional derivative of the ALM element contribution along velocity
+    direction p, using the chain dx = dt p, dv = p, d(dv/dt) = p/dt:
+
+        dF    = dt G,  G = sum_a p_a (x) gradN_a
+        dE    = dt sym2(G, Du),  sym2(G, D) = (G + G^T + G^T D + D^T G)/2
+        dEdot = sym2(G, Du) + dt (Fd^T G + G^T Fd)/2
+        dS    = lam tr(dE) I + 2 mu dE + lam_d tr(dEdot) I + 2 eta dEdot
+        dP    = dt G S0 + (I + Du) dS
+        out_a = sum_q dP gradN_qa dV_q + (1/dt) Me p
+
+    Exactly the linearization `_svk_stress_tangent_rows` computes, but with
+    the primal (Du, S0, Fd) read from the prep buffer instead of recomputed
+    per CG iteration, and only ONE gradient contraction (G) instead of four.
+    Inputs: dt (1,1) SMEM scalar; pT (S*3 rows) the gathered raw direction.
+    """
+    dt = dt_ref[0, 0]
+    fe = _hv_fe(
+        lambda a, c: pT_ref[a * 3 + c],
+        lambda row: prep_ref[row],
+        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
+        lambda q: dV_ref[q],
+        lambda a, b: Me_ref[a * S + b],
+        dt,
+        Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
+        tmask=tmask,
+    )
+    for a in range(S):
+        for i in range(3):
+            out_ref[a * 3 + i] = fe[a][i]
+
+
+def make_hv_kernels(elems, material, dtype=np.float32, interpret=False, tpd=None):
     """Build (primal_prep_fn, hv_fn, n_prep_rows) for the specialized
     Newton-PCG Hessian-vector path (SVK + Kelvin-Voigt).
 
     primal_prep_fn(pe_T (S*9, B, L)) -> (out_T (S*3, B, L), prep_T (PR, B, L))
     hv_fn(dt (1,1), p_T (S*3, B, L), prep_T) -> dout_T (S*3, B, L)
     """
-    tpd = prepare_tp(elems, dtype=dtype)
+    if tpd is None:
+        tpd = prepare_tp(elems, dtype=dtype)
     Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
     n_blocks = E_pad // EBLK
     lam = float(material.lam)
@@ -759,7 +805,7 @@ class PallasContrib:
     """
 
     def __init__(self, fn, S: int, E: int, E_pad: int, precond_fn=None,
-                 prep_fn=None, hv_fn=None):
+                 prep_fn=None, hv_fn=None, banded=None):
         self.fn = fn
         self.S = S
         self.E = E
@@ -767,30 +813,64 @@ class PallasContrib:
         self.precond_fn = precond_fn
         self.prep_fn = prep_fn  # primal contribution + per-QP Hv prep
         self.hv_fn = hv_fn  # specialized tangent kernel
+        self.banded = banded  # pallas_banded.BandedHandle or None
 
     def __getitem__(self, key):  # dict-compat for tpd-style access
         return getattr(self, key if key != "E_pad" else "E_pad")
 
 
-def with_pallas(system, dtype=np.float32, interpret=False):
+def with_pallas(system, dtype=np.float32, interpret=False, banded=False):
     """Return a copy of `system` that routes its residual through the Pallas
-    element kernel (SVK materials only)."""
+    element kernel (SVK materials only).
+
+    banded: "auto" additionally builds the banded fused gather/kernel/scatter
+    Hv + primal kernels (`tlfea.ops.pallas_banded`) when the mesh's node
+    numbering is banded enough (window fits VMEM); True forces it (raises if
+    infeasible); False (default) skips it. The Newton solver prefers the
+    banded path when present (one kernel per Hessian-vector product — no XLA
+    gather/scatter/transpose ops on the CG critical path). Opt-in because
+    the in-kernel gather/scatter loops are prohibitively slow under
+    interpret mode (CPU tests); production TPU entry points enable it.
+    """
     from tlfea.materials import SVK
 
     if not isinstance(system.material, SVK):
         raise ValueError("Pallas element kernel currently supports SVK only")
-    contrib, tpd = make_element_contrib(
-        system.elems, system.material, dtype=dtype, interpret=interpret
+    if banded:
+        # Pre-sort elements by min node so the banded kernels can SHARE the
+        # canonical static tables below (element order is semantically
+        # irrelevant; a second table copy is ~100 MB of closure constants
+        # at 100k elems and overflows the remote-compile request).
+        from tlfea.ops import pallas_banded
+
+        system = system.replace(elems=pallas_banded.sort_elements(system.elems))
+    # One shared static-array dict: the element tables (grad_N, dV, Me) are
+    # closure constants inside the jitted kernels, and every copy rides the
+    # remote-compile request (the axon tunnel rejects bodies past a few
+    # hundred MB — ~100 MB per copy at 100k elems).
+    tpd = prepare_tp(system.elems, dtype=dtype)
+    contrib, _ = make_element_contrib(
+        system.elems, system.material, dtype=dtype, interpret=interpret, tpd=tpd
     )
     pfn, _ = make_precond_blocks(
-        system.elems, system.material, dtype=dtype, interpret=interpret
+        system.elems, system.material, dtype=dtype, interpret=interpret, tpd=tpd
     )
     prep_fn, hv_fn, _ = make_hv_kernels(
-        system.elems, system.material, dtype=dtype, interpret=interpret
+        system.elems, system.material, dtype=dtype, interpret=interpret, tpd=tpd
     )
+    bnd = None
+    if banded:
+        try:
+            bnd = pallas_banded.build_banded(
+                system.elems, system.material, dtype=dtype,
+                interpret=interpret, tpd=tpd,
+            )
+        except pallas_banded.NotBandedError:
+            if banded is True:
+                raise
     handle = PallasContrib(
         contrib, tpd["S"], tpd["E"], tpd["E_pad"], precond_fn=pfn,
-        prep_fn=prep_fn, hv_fn=hv_fn,
+        prep_fn=prep_fn, hv_fn=hv_fn, banded=bnd,
     )
     return system.replace(pallas=handle)
 

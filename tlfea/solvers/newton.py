@@ -145,8 +145,22 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         and getattr(system.pallas, "hv_fn", None) is not None
         and (system.constraints is None or isinstance(system.constraints, FixedCoefs))
     )
+    # Banded fused path: one Pallas kernel per gradient / Hv, with the
+    # gather+scatter inside the kernel (pallas_banded). Preferred when the
+    # mesh was banded enough at build time; the wide-accumulation accuracy
+    # mode stays on the flat path (its scatters run in accum_dtype).
+    use_banded = (
+        use_pallas_hv
+        and getattr(system.pallas, "banded", None) is not None
+        and not system.accum_dtype
+    )
 
     def linearize_g(v):
+        if use_banded:
+            from tlfea.ops.pallas_banded import g_and_hvp_banded
+
+            return g_and_hvp_banded(v, x_prev, v_prev, lam, f_ext, dt, rho,
+                                    system, u_prev=u_prev)
         if use_pallas_hv:
             from tlfea.ops.pallas_fem import g_and_hvp
 
