@@ -319,7 +319,15 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
 
     scratch = [pltpu.VMEM((3 * S * SUB, ROW), jnp.dtype(dtype))]
 
-    def hv_fn(dt_arr, win3, prepT):
+    # Large static tables travel as a PYTREE (`BandedHandle.data`): callers
+    # inside jit must pass it through the jit boundary as an ARGUMENT
+    # (newton threads system-derived `bdata`), because closure-captured
+    # arrays ride the remote-compile request — the scatter schedule alone
+    # is 100s of MB at 100k elems (HTTP 413). The prefetch scalars stay
+    # closure constants (KBs).
+    data = dict(inv=inv_T, cl=cl_T, gN=gN_T, dV=dV_T, Me=Me_T)
+
+    def hv_fn(dt_arr, win3, prepT, data):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(n_blocks,),
@@ -338,9 +346,10 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             out_shape=jax.ShapeDtypeStruct((n_wins, 3 * WR2, ROW), win3.dtype),
             interpret=interpret,
         )(wb_j, first_j, r0_j, fid_j, ranges_j,
-          dt_arr, win3, inv_T, cl_T, prepT, gN_T, dV_T, Me_T)
+          dt_arr, win3, data["inv"], data["cl"], prepT,
+          data["gN"], data["dV"], data["Me"])
 
-    def primal_fn(win9):
+    def primal_fn(win9, data):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(n_blocks,),
@@ -364,10 +373,10 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             ],
             interpret=interpret,
         )(wb_j, first_j, r0_j, fid_j, ranges_j,
-          win9, inv_T, cl_T, gN_T, dV_T, Me_T)
+          win9, data["inv"], data["cl"], data["gN"], data["dV"], data["Me"])
 
     return BandedHandle(
-        hv_fn=hv_fn, primal_fn=primal_fn,
+        hv_fn=hv_fn, primal_fn=primal_fn, data=data,
         W=W, WR=WR, WR2=WR2, RT=RT, K=K, I_cap=I_cap,
         n_wins=n_wins, n_blocks=n_blocks, E=E, E_pad=E_pad, S=S, Q=Q,
         PR=PR, n=n, span=span, order=order,
@@ -547,7 +556,7 @@ def from_windows(outw, bnd):
 
 
 def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
-                     u_prev=None):
+                     u_prev=None, bdata=None):
     """ALM gradient + Hessian-vector operator via the banded fused kernels:
     the primal pass is ONE kernel (in-window gather of [u|v|dv], element
     algebra, in-window scatter, per-QP Hv prep), and each CG Hv is ONE
@@ -555,11 +564,17 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
 
     Matches `pallas_fem.g_and_hvp` exactly (same shared algebra cores);
     FixedCoefs (or no) constraints, working-dtype accumulation only.
+
+    bdata: the handle's `data` pytree threaded through the enclosing jit as
+    an ARGUMENT (see newton.make_step) — without it the tables become jaxpr
+    constants, which overflows the remote-compile request at 100k elems.
     """
     from tlfea.constraints import FixedCoefs
     from tlfea.elements.assembly import node_ref
 
     bnd = system.pallas.banded
+    if bdata is None:
+        bdata = bnd.data
     elems = system.elems
     cons = system.constraints
     x_ref = node_ref(elems)
@@ -569,7 +584,7 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
     u = (u_prev + dt * v).astype(dtype)
 
     packed = jnp.concatenate([u, v, (v - v_prev) / dt], axis=1)  # (n, 9)
-    outw, prepT = bnd.primal_fn(to_windows(packed, bnd))
+    outw, prepT = bnd.primal_fn(to_windows(packed, bnd), bdata)
     g = from_windows(outw, bnd)
     if isinstance(cons, FixedCoefs):
         c = cons.eval_c_u(u, x_ref)
@@ -585,7 +600,7 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
 
     def hvp(p):
-        h = from_windows(bnd.hv_fn(dt_arr, to_windows(p, bnd), prepT), bnd)
+        h = from_windows(bnd.hv_fn(dt_arr, to_windows(p, bnd), prepT, bdata), bnd)
         if pinmask is not None:
             h = h + (dt * dt * rho) * pinmask * p
         return h

@@ -119,7 +119,7 @@ def _pcg(hvp, precond, b, rtol, max_iter):
     return x, k, flat_norm(r)
 
 
-def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: System, coarse=None, inv_blocks=None, u_prev=None):
+def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: System, coarse=None, inv_blocks=None, u_prev=None, bdata=None):
     """Inner Newton loop at fixed duals; returns (v, iters, ||g||).
 
     inv_blocks: optional precomputed inverted block-Jacobi blocks (n, 3, 3)
@@ -160,7 +160,7 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
             from tlfea.ops.pallas_banded import g_and_hvp_banded
 
             return g_and_hvp_banded(v, x_prev, v_prev, lam, f_ext, dt, rho,
-                                    system, u_prev=u_prev)
+                                    system, u_prev=u_prev, bdata=bdata)
         if use_pallas_hv:
             from tlfea.ops.pallas_fem import g_and_hvp
 
@@ -268,7 +268,7 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     return v, iters, norm_g, cg_total, hist
 
 
-def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=None, inv_blocks=None):
+def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=None, inv_blocks=None, bdata=None):
     """One backward-Euler step; returns (new_state, diagnostics dict)."""
     from tlfea.elements.assembly import node_ref
 
@@ -289,7 +289,7 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
         v, v_prev, lam, k, _, newton_tot, cg_tot, _h, _ok = carry
         v, n_it, norm_g, cg_it, hist = _newton_inner(
             v, x_prev, v_prev, lam, f_ext, params, system, coarse, inv_blocks,
-            u_prev=u_prev,
+            u_prev=u_prev, bdata=bdata,
         )
         # Inner loop exits either converged or at the iteration budget; a
         # budget exit means v is NOT the backward-Euler solution this step.
@@ -343,6 +343,19 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
 step = jax.jit(_step)
 
 
+def _banded_data(system: System):
+    """The banded kernels' static device tables as a pytree, or None.
+
+    `System.pallas` is a static (non-pytree) field, so anything it holds
+    compiles into the jaxpr as constants; the banded scatter schedule alone
+    is 100s of MB at 100k elems, which overflows the axon remote-compile
+    request (HTTP 413). Factories thread this through their jits as an
+    argument instead.
+    """
+    bnd = getattr(system.pallas, "banded", None) if system.pallas is not None else None
+    return None if bnd is None else bnd.data
+
+
 def make_step(system: System, params: NewtonParams, coarse=None):
     """Return a jitted step(state, f_ext) closure over a fixed system.
 
@@ -351,21 +364,18 @@ def make_step(system: System, params: NewtonParams, coarse=None):
     systems). Passed into the jit as an ARGUMENT pytree, not a closure
     constant: closure arrays ride inside the compile request, and the axon
     remote-compile tunnel rejects bodies past ~100s of MB (HTTP 413) — the
-    dense (na, n) Agg matrix alone is ~300 MB at 100k elems.
+    dense (na, n) Agg matrix alone is ~300 MB at 100k elems. The banded
+    kernels' static tables (`system.pallas.banded.data` — the scatter
+    schedule is the other 100s-of-MB offender at 100k) ride as an argument
+    for the same reason.
     """
-
-    if coarse is None:
-        @jax.jit
-        def _f(state, f_ext):
-            return _step(system, state, params, f_ext, None)
-
-        return _f
+    bdata = _banded_data(system)
 
     @jax.jit
-    def _fc(state, f_ext, co):
-        return _step(system, state, params, f_ext, co)
+    def _fc(state, f_ext, co, bd):
+        return _step(system, state, params, f_ext, co, bdata=bd)
 
-    return lambda state, f_ext: _fc(state, f_ext, coarse)
+    return lambda state, f_ext: _fc(state, f_ext, coarse, bdata)
 
 
 def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None,
@@ -389,11 +399,13 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             eps=1e-30,
         )
 
-    # `coarse` enters as a jit ARGUMENT pytree (see make_step: closure
-    # arrays ship inside the remote-compile request and blow the tunnel's
-    # size limit at scale).
+    # `coarse` and the banded tables enter as jit ARGUMENT pytrees (see
+    # make_step: closure arrays ship inside the remote-compile request and
+    # blow the tunnel's size limit at scale).
+    bdata = _banded_data(system)
+
     @jax.jit
-    def _roll(state: StepState, f_ext, co):
+    def _roll(state: StepState, f_ext, co, bd):
         def body(carry, k):
             st, inv_b = carry
             if refresh > 1:
@@ -401,7 +413,8 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
                     k % refresh == 0, lambda s, b: fresh_inv(s), lambda s, b: b,
                     st, inv_b,
                 )
-            ns, d = _step(system, st, params, f_ext, co, inv_blocks=inv_b)
+            ns, d = _step(system, st, params, f_ext, co, inv_blocks=inv_b,
+                          bdata=bd)
             return (ns, inv_b), (d["newton_iters"], d["cg_iters"])
 
         if refresh > 1:
@@ -411,7 +424,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             )
         else:
             def body1(st, _):
-                ns, d = _step(system, st, params, f_ext, co)
+                ns, d = _step(system, st, params, f_ext, co, bdata=bd)
                 return ns, (d["newton_iters"], d["cg_iters"])
 
             s, its = jax.lax.scan(body1, state, None, length=n_steps)
@@ -430,7 +443,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             state = state.replace(u=state.x - node_ref(system.elems))
         if state.dv is None:
             state = state.replace(dv=jnp.zeros_like(state.v))
-        return _roll(state, f_ext, coarse)
+        return _roll(state, f_ext, coarse, bdata)
 
     return roll
 
@@ -438,10 +451,14 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
 def stepper(params, coarse=None):
     """Jitted step(system, state, f_ext) — the `Simulation` contract; the
     system is a pytree argument, so constraint targets / material parameters
-    may change between calls without retracing."""
+    may change between calls without retracing. The static `system.pallas`
+    handle's banded tables are re-extracted per call and threaded as a jit
+    argument (`System.pallas` is a static field, so its arrays would
+    otherwise become jaxpr constants — HTTP 413 at 100k elems)."""
 
     @jax.jit
-    def _f(system, state, f_ext, co):
-        return _step(system, state, params, f_ext, co)
+    def _f(system, state, f_ext, co, bd):
+        return _step(system, state, params, f_ext, co, bdata=bd)
 
-    return lambda system, state, f_ext: _f(system, state, f_ext, coarse)
+    return lambda system, state, f_ext: _f(system, state, f_ext, coarse,
+                                           _banded_data(system))
