@@ -46,7 +46,6 @@ def run_scale(name, rollout=20, tol=2.5e-2):
     from tlfea.materials import SVK, lame_from_E_nu
     from tlfea.ops import pallas_fem
     from tlfea.solvers import System, StepState, newton
-    from tlfea.solvers.newton import _step
     from tlfea.utils.tetmesh import box_t10_mesh
 
     dtype = np.float32
@@ -88,10 +87,15 @@ def run_scale(name, rollout=20, tol=2.5e-2):
         cg_rtol=dtype(1e-3), cg_max_iter=50, ew_eta_max=dtype(0.5),
     )
     # Flagship config: Pallas element kernel (exact f32). Fall back to the
-    # XLA einsum path if the kernel is unavailable on this platform.
+    # XLA einsum path if the kernel is unavailable on this platform. The
+    # probe MUST go through make_step (not a raw jit of _step): the factory
+    # threads the banded static tables as jit arguments — as closure
+    # constants they become executable constant literals, which exhausts
+    # device allocation at 100k elems (and HTTP 413s the remote compile).
     try:
         psystem = pallas_fem.with_pallas(system, banded="auto")
-        _s, _ = jax.jit(lambda s, f: _step(psystem, s, params, f))(state, f_ext)
+        _probe = newton.make_step(psystem, params)
+        _s, _ = _probe(state, f_ext)
         jax.block_until_ready(_s)
         system = psystem
     except Exception as e:  # pragma: no cover
