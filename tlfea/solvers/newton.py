@@ -340,7 +340,16 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
     return new_state, diag
 
 
-step = jax.jit(_step)
+_step_jit = jax.jit(_step)
+
+
+def step(system: System, state, params: NewtonParams, f_ext, coarse=None):
+    """Jitted one-off step. Production loops should use `make_step` /
+    `make_rollout` (one trace per system). Threads the banded kernels'
+    static tables host-side so they enter the jit as arguments, never as
+    executable constants (see `_banded_data`)."""
+    return _step_jit(system, state, params, f_ext, coarse,
+                     bdata=_banded_data(system))
 
 
 def _banded_data(system: System):
