@@ -99,8 +99,8 @@ def run_scale(name, rollout=20, tol=2.5e-2):
         jax.block_until_ready(_s)
         system = psystem
     except Exception as e:  # pragma: no cover
-        print(f"[{name}] pallas path unavailable ({type(e).__name__}); XLA path",
-              file=sys.stderr)
+        print(f"[{name}] pallas path unavailable ({type(e).__name__}: "
+              f"{str(e)[:500]}); XLA path", file=sys.stderr)
 
     # Production rollout config (benchmarks/profile_rollout.py sweep):
     # frozen rotation-enriched coarse correction (CG 29 -> 8 per Newton) +

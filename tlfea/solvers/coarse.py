@@ -145,25 +145,40 @@ class CoarsePrecond:
     far from the build state.
     """
 
-    Agg: jnp.ndarray  # (na, n) one-hot aggregation, f32
+    Agg: jnp.ndarray  # (na, n) one-hot aggregation, f32 (None when seg > 0)
     u0: jnp.ndarray  # (n, 3) lever arms about aggregate centroids
     Ainv: jnp.ndarray  # (k, k) explicit inverse of A_c (dense, SPD)
     rotations: bool = struct.field(pytree_node=False)
     n_agg: int = struct.field(pytree_node=False)
+    # seg > 0: aggregates are CONTIGUOUS index ranges of `seg` nodes
+    # (aggregate i owns rows [i*seg, (i+1)*seg)). Under a bandwidth-reducing
+    # node order (RCM — what the banded kernels already require) contiguous
+    # ranges are spatially coherent, so the coarse space is as good as the
+    # spatial-grid one — and restrict/prolong become reshape-sums with NO
+    # (na, n) operand at all. The dense Agg streams ~600 MB of HBM per CG
+    # iteration at 145k nodes (~0.75 ms); this path streams nothing.
+    seg: int = struct.field(pytree_node=False, default=0)
 
     def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
-        if not self.rotations:
-            return (self.Agg @ r).reshape(-1)
-        # Augmented-channel matmul: translations and moments restricted in
-        # ONE (na, n) @ (n, 6) product (each extra latency-bound op on the
-        # CG critical path costs ~0.1-0.3 ms on this TPU — PERF_NOTES).
-        aug = jnp.concatenate([r, jnp.cross(self.u0, r)], axis=1)  # (n, 6)
-        return (self.Agg @ aug).reshape(-1)
+        if self.rotations:
+            # Augmented channels: translations and moments restricted in ONE
+            # product/sum (each extra latency-bound op on the CG critical
+            # path costs ~0.1-0.3 ms on this TPU — PERF_NOTES).
+            r = jnp.concatenate([r, jnp.cross(self.u0, r)], axis=1)  # (n, 6)
+        if self.seg:
+            pad = self.n_agg * self.seg - r.shape[0]
+            rp = jnp.pad(r, ((0, pad), (0, 0)))
+            return jnp.sum(rp.reshape(self.n_agg, self.seg, -1), axis=1).reshape(-1)
+        return (self.Agg @ r).reshape(-1)
 
     def prolong(self, w: jnp.ndarray) -> jnp.ndarray:
         k = 6 if self.rotations else 3
         w = w.reshape(self.n_agg, k)
-        z6 = self.Agg.T @ w  # (n, k) — one matmul for both mode families
+        if self.seg:
+            n = self.u0.shape[0]
+            z6 = jnp.repeat(w, self.seg, axis=0)[:n]  # (n, k)
+        else:
+            z6 = self.Agg.T @ w  # (n, k) — one matmul for both mode families
         if not self.rotations:
             return z6
         return z6[:, :3] + jnp.cross(z6[:, 3:], self.u0)
@@ -207,16 +222,31 @@ def build_coarse_precond(
     rotations: bool = True,
     max_agg: int = 512,
     chunk: int = 16384,
+    ranges: bool = False,
 ) -> CoarsePrecond:
     """Assemble + factor the frozen coarse correction at configuration x0.
 
     SVK materials (closed-form pair tangents). `max_agg` caps the coarse
     problem so the dense Agg matrix and Cholesky stay small at 100k+ elems.
+
+    ranges=True aggregates CONTIGUOUS node-index ranges instead of spatial
+    grid cells: restrict/prolong then run with no (na, n) operand (see
+    CoarsePrecond.seg). Use with a bandwidth-reducing node order (RCM) so
+    ranges are spatially coherent; the dense Agg matmul costs ~0.75 ms per
+    CG iteration at 145k nodes, the range path ~nothing.
     """
     x0np = np.asarray(x0)
     n = x0np.shape[0]
     target_cluster = max(target_cluster, int(np.ceil(n / max_agg)))
-    setup = build_aggregates(x0np, target_cluster=target_cluster)
+    if ranges:
+        seg = int(target_cluster)
+        na_r = -(-n // seg)
+        setup = CoarseSetup(
+            agg=jnp.asarray((np.arange(n) // seg).astype(np.int32)), n_agg=na_r
+        )
+    else:
+        seg = 0
+        setup = build_aggregates(x0np, target_cluster=target_cluster)
     na = setup.n_agg
     agg = np.asarray(setup.agg)
 
@@ -229,8 +259,11 @@ def build_coarse_precond(
     cent /= counts[:, None]
     u0 = (x0np - cent[agg]).astype(dtype)
 
-    Aggd = np.zeros((na, n), dtype=dtype)
-    Aggd[agg, np.arange(n)] = 1.0
+    if ranges:
+        Aggd = None
+    else:
+        Aggd = np.zeros((na, n), dtype=dtype)
+        Aggd[agg, np.arange(n)] = 1.0
 
     elems = system.elems
     material = system.material
@@ -291,11 +324,12 @@ def build_coarse_precond(
     Ainv = jax.scipy.linalg.cho_solve(chol, jnp.eye(K, dtype=Ad.dtype))
 
     return CoarsePrecond(
-        Agg=jnp.asarray(Aggd),
+        Agg=None if Aggd is None else jnp.asarray(Aggd),
         u0=u0_d,
         Ainv=Ainv,
         rotations=rotations,
         n_agg=na,
+        seg=seg,
     )
 
 

@@ -381,10 +381,15 @@ def make_step(system: System, params: NewtonParams, coarse=None):
     bdata = _banded_data(system)
 
     @jax.jit
-    def _fc(state, f_ext, co, bd):
-        return _step(system, state, params, f_ext, co, bdata=bd)
+    def _fc(sys_, state, f_ext, co, bd):
+        return _step(sys_, state, params, f_ext, co, bdata=bd)
 
-    return lambda state, f_ext: _fc(state, f_ext, coarse, bdata)
+    # `system` itself also enters as an ARGUMENT pytree: closed over, its
+    # element arrays (grad_N alone is 58 MB at 100k elems) become constant
+    # literals, which (a) bloat the remote-compile MLIR past the helper's
+    # limits and (b) get materialized with padded tiled layouts on device
+    # (measured 20.5x expansion: 1.16 GB for grad_N) — the round-2 100k OOM.
+    return lambda state, f_ext: _fc(system, state, f_ext, coarse, bdata)
 
 
 def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None,
@@ -401,20 +406,21 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
     """
     refresh = max(int(precond_refresh), 1)
 
-    def fresh_inv(state):
-        return inv3x3(
-            precond_blocks(state.v, state.x, params.dt, params.rho, system,
-                           u_prev=state.u),
-            eps=1e-30,
-        )
-
-    # `coarse` and the banded tables enter as jit ARGUMENT pytrees (see
-    # make_step: closure arrays ship inside the remote-compile request and
-    # blow the tunnel's size limit at scale).
+    # `system`, `coarse`, and the banded tables all enter as jit ARGUMENT
+    # pytrees (see make_step: closure arrays become constant literals, which
+    # bloat the remote-compile request past its limits AND materialize with
+    # padded tiled layouts on device — 20.5x expansion measured at 100k).
     bdata = _banded_data(system)
 
     @jax.jit
-    def _roll(state: StepState, f_ext, co, bd):
+    def _roll(sys_, state: StepState, f_ext, co, bd):
+        def fresh_inv(st):
+            return inv3x3(
+                precond_blocks(st.v, st.x, params.dt, params.rho, sys_,
+                               u_prev=st.u),
+                eps=1e-30,
+            )
+
         def body(carry, k):
             st, inv_b = carry
             if refresh > 1:
@@ -422,7 +428,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
                     k % refresh == 0, lambda s, b: fresh_inv(s), lambda s, b: b,
                     st, inv_b,
                 )
-            ns, d = _step(system, st, params, f_ext, co, inv_blocks=inv_b,
+            ns, d = _step(sys_, st, params, f_ext, co, inv_blocks=inv_b,
                           bdata=bd)
             return (ns, inv_b), (d["newton_iters"], d["cg_iters"])
 
@@ -433,7 +439,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             )
         else:
             def body1(st, _):
-                ns, d = _step(system, st, params, f_ext, co, bdata=bd)
+                ns, d = _step(sys_, st, params, f_ext, co, bdata=bd)
                 return ns, (d["newton_iters"], d["cg_iters"])
 
             s, its = jax.lax.scan(body1, state, None, length=n_steps)
@@ -452,7 +458,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
             state = state.replace(u=state.x - node_ref(system.elems))
         if state.dv is None:
             state = state.replace(dv=jnp.zeros_like(state.v))
-        return _roll(state, f_ext, coarse, bdata)
+        return _roll(system, state, f_ext, coarse, bdata)
 
     return roll
 
