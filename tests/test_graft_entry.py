@@ -38,6 +38,6 @@ def test_entry_traces():
 
     fn, args = g.entry()
     out = jax.eval_shape(fn, *args)
-    state = args[0]
+    state = args[1]  # (system, state, f_ext, bdata)
     assert out.x.shape == state.x.shape
     assert state.x.shape[0] >= 10_000  # driver asked for a non-toy problem
