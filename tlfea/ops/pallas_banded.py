@@ -284,11 +284,16 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
         ).reshape(S, n_blocks * SUB, LANE).astype(np.int32)
     )
     inv_T = jnp.asarray(inv_np)
-    fid_j = jnp.asarray(fid_np)
-    ranges_j = jnp.asarray(ranges_np)
+    # Scalar-prefetch tables ride in SMEM, where every trailing row pads to
+    # 512 B and middle dims to multiples of 8: shaped (99,12,2) `ranges`
+    # alone padded 9.5 KB -> 792 KB at 100k elems and blew the 1 MB SMEM
+    # budget (compile-time OOM). Flattened 1D they pad to ~nothing; kernels
+    # index with static strides (I_cap, RT, S).
+    fid_j = jnp.asarray(fid_np.reshape(-1))
+    ranges_j = jnp.asarray(ranges_np.reshape(-1))
     wb_j = jnp.asarray(wb.astype(np.int32))
     first_j = jnp.asarray(first)
-    r0_j = jnp.asarray(r0)
+    r0_j = jnp.asarray(r0.reshape(-1))
 
     Q = int(np.asarray(elems.grad_N).shape[1])
     lam = float(material.lam)
@@ -407,7 +412,7 @@ def _window_gather(b, win_ref, cl_ref, r0_r, S, n_chan, K, WR2, dtype):
             cl, jnp.asarray(ROW.bit_length() - 1, cl.dtype)
         )
         q = jnp.bitwise_and(cl, jnp.asarray(ROW - 1, cl.dtype))
-        base = r0_r[b, a]
+        base = r0_r[b * S + a]  # flat (n_blocks*S,) — see build_banded
         acc = [jnp.zeros((SUB, LANE), dtype) for _ in range(n_chan)]
         for k in range(K):
             rk = base + k
@@ -423,19 +428,22 @@ def _window_gather(b, win_ref, cl_ref, r0_r, S, n_chan, K, WR2, dtype):
 
 
 def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
-                    S, RT, WR2, dtype):
+                    S, RT, WR2, I_cap, dtype):
     """Static inverse-shuffle scatter: per output row-tile, iterate its
     host-scheduled items; each broadcasts one fe source row, lane-shuffles
     it into output positions, and mask-adds (3 channels share the index
-    tile). Accumulates into the (revisited) window output block."""
+    tile). Accumulates into the (revisited) window output block.
+
+    fid_r/ranges_r are FLAT 1D SMEM tables (strides I_cap / RT*2): shaped,
+    SMEM pads every trailing row to 512 B (1 MB budget blown at 100k)."""
     FR = S * SUB  # fe scratch rows per channel
 
     for rt in range(RT):
-        start = ranges_r[b, rt, 0]
-        count = ranges_r[b, rt, 1]
+        start = ranges_r[(b * RT + rt) * 2]
+        count = ranges_r[(b * RT + rt) * 2 + 1]
 
         def body(i, acc):
-            fid = fid_r[b, i]
+            fid = fid_r[b * I_cap + i]
             idx = inv_ref[0, pl.ds(i * SUB, SUB), :]
             ok = idx >= 0
             qi = jnp.where(ok, idx, 0)
@@ -486,7 +494,7 @@ def _hv_banded_body(
     )
     _store_fe(fes_ref, fe, S)
     _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
-                    S, RT, WR2, win_ref.dtype)
+                    S, RT, WR2, I_cap, win_ref.dtype)
 
 
 def _primal_banded_body(
@@ -517,7 +525,7 @@ def _primal_banded_body(
     )
     _store_fe(fes_ref, fe, S)
     _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
-                    S, RT, WR2, win_ref.dtype)
+                    S, RT, WR2, I_cap, win_ref.dtype)
 
 
 # --------------------------------------------------------------------------
