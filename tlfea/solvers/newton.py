@@ -341,15 +341,34 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
 
 
 _step_jit = jax.jit(_step)
+# Per-constraints-object jits for Pallas systems (TPU miscompile workaround,
+# see `_cons_closure`): the pin arrays must be jaxpr CONSTANTS, so each
+# distinct FixedCoefs gets its own executable. Values hold (fn, cons) — the
+# cons reference keeps id() stable for the cache's lifetime.
+_step_jit_by_cons: dict = {}
 
 
 def step(system: System, state, params: NewtonParams, f_ext, coarse=None):
     """Jitted one-off step. Production loops should use `make_step` /
     `make_rollout` (one trace per system). Threads the banded kernels'
     static tables host-side so they enter the jit as arguments, never as
-    executable constants (see `_banded_data`)."""
-    return _step_jit(system, state, params, f_ext, coarse,
-                     bdata=_banded_data(system))
+    executable constants (see `_banded_data`). Pallas systems re-trace per
+    distinct constraints object (`_cons_closure` workaround)."""
+    cons_c = _cons_closure(system)
+    if cons_c is None:
+        return _step_jit(system, state, params, f_ext, coarse,
+                         bdata=_banded_data(system))
+    ent = _step_jit_by_cons.get(id(cons_c))
+    if ent is None or ent[1] is not cons_c:
+
+        @jax.jit
+        def _fc(sys_, state, params, f_ext, co, bd):
+            return _step(sys_.replace(constraints=cons_c), state, params,
+                         f_ext, co, bdata=bd)
+
+        _step_jit_by_cons[id(cons_c)] = ent = (_fc, cons_c)
+    return ent[0](system, state, params, f_ext, coarse,
+                  _banded_data(system))
 
 
 def _banded_data(system: System):
@@ -363,6 +382,30 @@ def _banded_data(system: System):
     """
     bnd = getattr(system.pallas, "banded", None) if system.pallas is not None else None
     return None if bnd is None else bnd.data
+
+
+def _cons_closure(system: System):
+    """Constraints to CLOSE OVER (jaxpr constants) instead of tracing, or None.
+
+    TPU miscompile workaround, isolated on jax 0.8-era TPU backends: with the
+    banded Pallas kernels (primal + Hv) inside a `lax.while_loop` body, a
+    TRACED `FixedCoefs` (its `idx` gather/scatter indices and `target`) makes
+    the ALM pin terms read corrupted data — the measured gradient picks up a
+    deterministic dt*rho*O(|x_ref|) ghost-constraint term (bisected: elements
+    / material / banded tables traced are all fine; constraints traced flips
+    it). Closing over the two tiny arrays (~KBs — no remote-compile-size or
+    layout-padding concern, unlike element tables) sidesteps it. Scoped to
+    systems with BANDED kernels (the flat Pallas path measured clean under
+    the same bisect); plain-XLA and flat-Pallas systems keep traced
+    constraints so `Simulation` can retarget without retracing.
+    """
+    if system.pallas is None or getattr(system.pallas, "banded", None) is None:
+        return None
+    from tlfea.constraints import FixedCoefs
+
+    if isinstance(system.constraints, FixedCoefs):
+        return system.constraints
+    return None
 
 
 def make_step(system: System, params: NewtonParams, coarse=None):
@@ -379,9 +422,14 @@ def make_step(system: System, params: NewtonParams, coarse=None):
     for the same reason.
     """
     bdata = _banded_data(system)
+    cons_c = _cons_closure(system)
 
     @jax.jit
     def _fc(sys_, state, f_ext, co, bd):
+        if cons_c is not None:
+            # Pin arrays as constants — TPU while-loop miscompile workaround
+            # (see `_cons_closure`); the traced copy is pruned as unused.
+            sys_ = sys_.replace(constraints=cons_c)
         return _step(sys_, state, params, f_ext, co, bdata=bd)
 
     # `system` itself also enters as an ARGUMENT pytree: closed over, its
@@ -411,9 +459,14 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
     # bloat the remote-compile request past its limits AND materialize with
     # padded tiled layouts on device — 20.5x expansion measured at 100k).
     bdata = _banded_data(system)
+    cons_c = _cons_closure(system)
 
     @jax.jit
     def _roll(sys_, state: StepState, f_ext, co, bd):
+        if cons_c is not None:
+            # TPU while-loop miscompile workaround — see `_cons_closure`.
+            sys_ = sys_.replace(constraints=cons_c)
+
         def fresh_inv(st):
             return inv3x3(
                 precond_blocks(st.v, st.x, params.dt, params.rho, sys_,
@@ -469,11 +522,34 @@ def stepper(params, coarse=None):
     may change between calls without retracing. The static `system.pallas`
     handle's banded tables are re-extracted per call and threaded as a jit
     argument (`System.pallas` is a static field, so its arrays would
-    otherwise become jaxpr constants — HTTP 413 at 100k elems)."""
+    otherwise become jaxpr constants — HTTP 413 at 100k elems).
+
+    Pallas systems (`system.pallas` set) instead RE-TRACE whenever the
+    constraints object changes: their pin arrays must be jaxpr constants
+    (`_cons_closure` TPU workaround), so per-step constraint retargeting on
+    a Pallas system recompiles — use the XLA path for prescribed-motion
+    scenes, or retarget in coarse epochs."""
 
     @jax.jit
     def _f(system, state, f_ext, co, bd):
         return _step(system, state, params, f_ext, co, bdata=bd)
 
-    return lambda system, state, f_ext: _f(system, state, f_ext, coarse,
-                                           _banded_data(system))
+    cache: dict = {}
+
+    def call(system, state, f_ext):
+        cons_c = _cons_closure(system)
+        bd = _banded_data(system)
+        if cons_c is None:
+            return _f(system, state, f_ext, coarse, bd)
+        ent = cache.get(id(cons_c))
+        if ent is None or ent[1] is not cons_c:
+
+            @jax.jit
+            def _fc(sys_, state, f_ext, co, bd):
+                return _step(sys_.replace(constraints=cons_c), state, params,
+                             f_ext, co, bdata=bd)
+
+            cache[id(cons_c)] = ent = (_fc, cons_c)
+        return ent[0](system, state, f_ext, coarse, bd)
+
+    return call
