@@ -70,26 +70,37 @@ print(f"== {scale}: {conn.shape[0]} elems / {len(nodes)} nodes, "
 
 for label, kwargs in [
     ("no coarse", None),
+    # Range-mode first (contiguous RCM index segments; restrict/prolong are
+    # zero-operand reshape-sums, so the only scale knob is the dense
+    # inverse of the (na*6)^2 coarse operator).
+    ("rng tc=48 max=512", dict(target_cluster=48, max_agg=512, ranges=True)),
+    ("rng tc=48 max=1024", dict(target_cluster=48, max_agg=1024, ranges=True)),
+    ("rng tc=48 max=2048", dict(target_cluster=48, max_agg=2048, ranges=True)),
     ("tc=96 max=512", dict(target_cluster=96, max_agg=512)),
     ("tc=48 max=512", dict(target_cluster=48, max_agg=512)),
     ("tc=48 max=2048", dict(target_cluster=48, max_agg=2048)),
     ("tc=24 max=2048", dict(target_cluster=24, max_agg=2048)),
-    ("tc=12 max=4096", dict(target_cluster=12, max_agg=4096)),
 ]:
-    if kwargs is None:
-        coarse, na = None, 0
-    else:
-        coarse = build_coarse_precond(system, state.x, float(params.dt),
-                                      float(params.rho), **kwargs)
-        na = int(coarse.Agg.shape[0]) if hasattr(coarse, "Agg") else -1
-    roll = newton.make_rollout(system, params, ROLL, coarse=coarse,
-                               precond_refresh=8)
-    s, _ = roll(state, f_ext)
-    jax.block_until_ready(s)
-    t0 = time.perf_counter()
-    s, (nit, cgit) = roll(s, f_ext)
-    jax.block_until_ready(s)
-    ms = (time.perf_counter() - t0) / ROLL * 1e3
-    print(f"{label:18s} rows={na:6d}  {ms:7.2f} ms/step  "
-          f"newton={float(np.median(np.asarray(nit))):.1f} "
-          f"cg={float(np.median(np.asarray(cgit))):.1f}", flush=True)
+    try:
+        if kwargs is None:
+            coarse, na = None, 0
+        else:
+            coarse = build_coarse_precond(system, state.x, float(params.dt),
+                                          float(params.rho), **kwargs)
+            na = coarse.n_agg
+        roll = newton.make_rollout(system, params, ROLL, coarse=coarse,
+                                   precond_refresh=8)
+        s, _ = roll(state, f_ext)
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        s, (nit, cgit) = roll(s, f_ext)
+        jax.block_until_ready(s)
+        ms = (time.perf_counter() - t0) / ROLL * 1e3
+        print(f"{label:20s} rows={na:6d}  {ms:7.2f} ms/step  "
+              f"newton={float(np.median(np.asarray(nit))):.1f} "
+              f"cg={float(np.median(np.asarray(cgit))):.1f}", flush=True)
+    except Exception as e:
+        print(f"{label:20s} FAILED ({type(e).__name__}: {str(e)[:160]})",
+              flush=True)
+    finally:
+        coarse = None

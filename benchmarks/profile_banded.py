@@ -88,16 +88,21 @@ def flat_pair(vv, pp):
     return g, hvp(pp)
 
 
-def banded_pair(vv, pp):
+def banded_pair(vv, pp, bd):
+    # bd threaded as a jit ARGUMENT: the scatter schedule is 100s of MB at
+    # 100k elems — as a closure constant it rides the remote-compile
+    # request (HTTP 413).
     g, hvp = pallas_banded.g_and_hvp_banded(
-        vv, x, v, lam_dual, f_ext, dt, rho, system)
+        vv, x, v, lam_dual, f_ext, dt, rho, system, bdata=bd)
     return g, hvp(pp)
 
+
+bdata = bnd.data
 
 gf, hf = jax.jit(flat_pair)(v, p)
 jax.block_until_ready(hf)
 print("flat path ran", flush=True)
-gb, hb = jax.jit(banded_pair)(v, p)
+gb, hb = jax.jit(banded_pair)(v, p, bdata)
 jax.block_until_ready(hb)
 rg = float(jnp.max(jnp.abs(gb - gf)) / jnp.max(jnp.abs(gf)))
 rh = float(jnp.max(jnp.abs(hb - hf)) / jnp.max(jnp.abs(hf)))
@@ -110,15 +115,16 @@ def flat_primal(vv):
     return g
 
 
-def banded_primal(vv):
+def banded_primal(vv, bd):
     g, _ = pallas_banded.g_and_hvp_banded(
-        vv, x, v, lam_dual, f_ext, dt, rho, system)
+        vv, x, v, lam_dual, f_ext, dt, rho, system, bdata=bd)
     return g
 
 
-def chain10(make):
-    def run(vv, pp):
-        _, hvp = make(vv, x, v, lam_dual, f_ext, dt, rho, system)
+def chain10(make, banded=False):
+    def run(vv, pp, *bd):
+        kw = dict(bdata=bd[0]) if banded else {}
+        _, hvp = make(vv, x, v, lam_dual, f_ext, dt, rho, system, **kw)
         acc = pp
 
         def body(_, a):
@@ -131,8 +137,9 @@ def chain10(make):
 
 
 timeit("primal+prep (flat)", flat_primal, v)
-timeit("primal+prep (banded)", banded_primal, v)
+timeit("primal+prep (banded)", banded_primal, v, bdata)
 timeit("10x Hv amortized (flat)", chain10(pallas_fem.g_and_hvp), v, p,
        iters=10, inner=10)
-timeit("10x Hv amortized (banded)", chain10(pallas_banded.g_and_hvp_banded),
-       v, p, iters=10, inner=10)
+timeit("10x Hv amortized (banded)",
+       chain10(pallas_banded.g_and_hvp_banded, banded=True), v, p, bdata,
+       iters=10, inner=10)

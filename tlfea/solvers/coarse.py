@@ -150,14 +150,18 @@ class CoarsePrecond:
     Ainv: jnp.ndarray  # (k, k) explicit inverse of A_c (dense, SPD)
     rotations: bool = struct.field(pytree_node=False)
     n_agg: int = struct.field(pytree_node=False)
-    # seg > 0: aggregates are CONTIGUOUS index ranges of `seg` nodes
-    # (aggregate i owns rows [i*seg, (i+1)*seg)). Under a bandwidth-reducing
-    # node order (RCM — what the banded kernels already require) contiguous
-    # ranges are spatially coherent, so the coarse space is as good as the
-    # spatial-grid one — and restrict/prolong become reshape-sums with NO
-    # (na, n) operand at all. The dense Agg streams ~600 MB of HBM per CG
-    # iteration at 145k nodes (~0.75 ms); this path streams nothing.
+    # seg > 0: TWO-STAGE restrict — nodes reshape-sum into contiguous index
+    # ranges of `seg` nodes (zero-operand under any node order), then the
+    # small one-hot `group` (na, n_fine) matmul maps ranges onto SPATIAL
+    # aggregates. Measured at 100k: thin contiguous slices alone do NOT
+    # capture 3D long-wavelength modes (CG 74 -> 73, useless), while spatial
+    # aggregates cut CG 74 -> 35 but the dense (na, n) Agg matmul streams
+    # ~600 MB of HBM per CG iteration at 145k nodes. Grouping ranges
+    # spatially gives the spatial coarse space with a (na, n/seg) operand —
+    # ~1000x smaller. Requires a bandwidth-reducing node order (RCM) so
+    # ranges are spatially tight; the banded kernels already enforce one.
     seg: int = struct.field(pytree_node=False, default=0)
+    group: jnp.ndarray = None  # (na, n_fine) one-hot, seg > 0 only
 
     def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
         if self.rotations:
@@ -166,9 +170,11 @@ class CoarsePrecond:
             # path costs ~0.1-0.3 ms on this TPU — PERF_NOTES).
             r = jnp.concatenate([r, jnp.cross(self.u0, r)], axis=1)  # (n, 6)
         if self.seg:
-            pad = self.n_agg * self.seg - r.shape[0]
+            n_fine = self.group.shape[1]
+            pad = n_fine * self.seg - r.shape[0]
             rp = jnp.pad(r, ((0, pad), (0, 0)))
-            return jnp.sum(rp.reshape(self.n_agg, self.seg, -1), axis=1).reshape(-1)
+            fine = jnp.sum(rp.reshape(n_fine, self.seg, -1), axis=1)
+            return (self.group @ fine).reshape(-1)
         return (self.Agg @ r).reshape(-1)
 
     def prolong(self, w: jnp.ndarray) -> jnp.ndarray:
@@ -176,7 +182,8 @@ class CoarsePrecond:
         w = w.reshape(self.n_agg, k)
         if self.seg:
             n = self.u0.shape[0]
-            z6 = jnp.repeat(w, self.seg, axis=0)[:n]  # (n, k)
+            fine = self.group.T @ w  # (n_fine, k)
+            z6 = jnp.repeat(fine, self.seg, axis=0)[:n]  # (n, k)
         else:
             z6 = self.Agg.T @ w  # (n, k) — one matmul for both mode families
         if not self.rotations:
@@ -229,23 +236,42 @@ def build_coarse_precond(
     SVK materials (closed-form pair tangents). `max_agg` caps the coarse
     problem so the dense Agg matrix and Cholesky stay small at 100k+ elems.
 
-    ranges=True aggregates CONTIGUOUS node-index ranges instead of spatial
-    grid cells: restrict/prolong then run with no (na, n) operand (see
-    CoarsePrecond.seg). Use with a bandwidth-reducing node order (RCM) so
-    ranges are spatially coherent; the dense Agg matmul costs ~0.75 ms per
-    CG iteration at 145k nodes, the range path ~nothing.
+    ranges=True builds the SAME spatial-grid aggregates but applies
+    restrict/prolong in two stages: contiguous `seg`-node index ranges
+    reshape-sum for free, then a tiny (na, n/seg) one-hot `group` matmul
+    assigns each range to the spatial aggregate holding its centroid (see
+    CoarsePrecond.seg). The coarse space is spatial-quality (thin index
+    slices alone were measured useless at 100k: CG 74 -> 73) while the
+    dense (na, n) Agg matmul (~600 MB HBM per CG iteration at 145k nodes)
+    disappears. Requires a bandwidth-reducing node order (RCM) so ranges
+    are spatially tight.
     """
     x0np = np.asarray(x0)
     n = x0np.shape[0]
     target_cluster = max(target_cluster, int(np.ceil(n / max_agg)))
     if ranges:
-        seg = int(target_cluster)
-        na_r = -(-n // seg)
+        seg = min(64, target_cluster)
+        n_fine = -(-n // seg)
+        rid = np.minimum(np.arange(n) // seg, n_fine - 1)
+        cent_f = np.zeros((n_fine, 3))
+        cnt_f = np.zeros(n_fine)
+        np.add.at(cent_f, rid, x0np)
+        np.add.at(cnt_f, rid, 1.0)
+        cent_f /= cnt_f[:, None]
+        # Spatial grid over RANGE centroids, ~target_cluster nodes per cell.
+        fsetup = build_aggregates(
+            cent_f, target_cluster=max(1, target_cluster // seg)
+        )
+        g_of_range = np.asarray(fsetup.agg)  # (n_fine,)
+        na_r = fsetup.n_agg
+        group_np = np.zeros((na_r, n_fine), dtype=x0np.dtype)
+        group_np[g_of_range, np.arange(n_fine)] = 1.0
         setup = CoarseSetup(
-            agg=jnp.asarray((np.arange(n) // seg).astype(np.int32)), n_agg=na_r
+            agg=jnp.asarray(g_of_range[rid].astype(np.int32)), n_agg=na_r
         )
     else:
         seg = 0
+        group_np = None
         setup = build_aggregates(x0np, target_cluster=target_cluster)
     na = setup.n_agg
     agg = np.asarray(setup.agg)
@@ -330,6 +356,7 @@ def build_coarse_precond(
         rotations=rotations,
         n_agg=na,
         seg=seg,
+        group=None if group_np is None else jnp.asarray(group_np),
     )
 
 
