@@ -52,13 +52,14 @@ def run_scale(name, rollout=20, tol=2.5e-2):
     L, W, H, nx, ny, nz = CONFIGS[name]
     nodes, conn = box_t10_mesh(L, W, H, nx, ny, nz)
     # Bandwidth-reducing node order: box_t10_mesh appends mid-edge nodes
-    # after all corners (~N/2 band); RCM restores the geometric band, which
-    # shrinks the banded fused kernels' windows and one-hot depth. All
-    # downstream sets (fixed nodes, loads) derive from coordinates/mass, so
-    # renumbering is physics-invariant (tests/test_reorder.py).
-    from tlfea.utils.reorder import apply_node_order, rcm_order
+    # after all corners (~N/2 band); best_order picks the tighter of RCM and
+    # PCA-axis sort (the axis sort wins 2.5x on long boxes), which shrinks
+    # the banded fused kernels' windows and one-hot depth. All downstream
+    # sets (fixed nodes, loads) derive from coordinates/mass, so renumbering
+    # is physics-invariant (tests/test_reorder.py).
+    from tlfea.utils.reorder import apply_node_order, best_order
 
-    nodes, conn = apply_node_order(nodes, conn, rcm_order(conn, len(nodes)))
+    nodes, conn = apply_node_order(nodes, conn, best_order(nodes, conn))
     n_elem = conn.shape[0]
 
     lam, mu = lame_from_E_nu(1e7, 0.3)
@@ -109,13 +110,16 @@ def run_scale(name, rollout=20, tol=2.5e-2):
     from tlfea.solvers.coarse import build_coarse_precond
 
     try:
-        # Range-mode aggregation at scale: the dense (na, n) Agg matmul
-        # costs ~0.75 ms per CG iteration at 145k nodes; contiguous-RCM
-        # range aggregates make restrict/prolong zero-operand reshape-sums
-        # (valid here because the mesh is RCM-ordered above).
+        # Range-mode aggregation at scale: exactly the dense coarse space,
+        # applied through per-slot masked reshape-sums + banded local
+        # matmuls (~85 MB streamed/CG-iter at 145k nodes vs 600 MB dense —
+        # see CoarsePrecond.seg). With the cheap apply a 2x larger coarse
+        # space pays for itself (measured 100k tight-tol: 107.7 ms/step at
+        # CG 30 vs 115.9 at CG 35 with max_agg=512).
+        big = nodes.shape[0] > 50_000
         coarse = build_coarse_precond(system, state.x, float(params.dt),
-                                      float(params.rho),
-                                      ranges=nodes.shape[0] > 50_000)
+                                      float(params.rho), ranges=big,
+                                      max_agg=1024 if big else 512)
     except Exception as e:  # pragma: no cover
         print(f"[{name}] coarse precond unavailable ({type(e).__name__})",
               file=sys.stderr)

@@ -129,9 +129,13 @@ def coarse_operator(x, elems: ElementBatch, material, cons, setup: CoarseSetup, 
 class CoarsePrecond:
     """Frozen two-level coarse correction with matmul-based apply.
 
-    Built ONCE (typically at the rest configuration): piecewise-rigid modes
-    per spatial aggregate — 3 translations (+ 3 rotations when
-    `rotations`) — with the exact Galerkin operator A_c = R^T H(x0) R
+    Built ONCE (typically at the rest configuration): piecewise modes per
+    spatial aggregate — 3 translations (`k_modes=3`), + 3 rotations
+    (`k_modes=6`, rigid), or the full affine family (`k_modes=12`:
+    translations + all 9 linear-gradient modes, which contains the
+    rotations and additionally reproduces every constant-strain field
+    exactly — the standard smoothed-aggregation near-kernel enrichment for
+    elasticity) — with the exact Galerkin operator A_c = R^T H(x0) R
     Cholesky-factorized up front. Per CG iteration the apply is two (or
     four) dense (na, n) matmuls + a small triangular solve: no gathers, no
     scatters, no per-step assembly (PERF_NOTES: per-CG-iteration
@@ -148,47 +152,96 @@ class CoarsePrecond:
     Agg: jnp.ndarray  # (na, n) one-hot aggregation, f32 (None when seg > 0)
     u0: jnp.ndarray  # (n, 3) lever arms about aggregate centroids
     Ainv: jnp.ndarray  # (k, k) explicit inverse of A_c (dense, SPD)
-    rotations: bool = struct.field(pytree_node=False)
+    k_modes: int = struct.field(pytree_node=False)  # 3 | 6 | 12 per agg
     n_agg: int = struct.field(pytree_node=False)
-    # seg > 0: TWO-STAGE restrict — nodes reshape-sum into contiguous index
-    # ranges of `seg` nodes (zero-operand under any node order), then the
-    # small one-hot `group` (na, n_fine) matmul maps ranges onto SPATIAL
-    # aggregates. Measured at 100k: thin contiguous slices alone do NOT
-    # capture 3D long-wavelength modes (CG 74 -> 73, useless), while spatial
-    # aggregates cut CG 74 -> 35 but the dense (na, n) Agg matmul streams
-    # ~600 MB of HBM per CG iteration at 145k nodes. Grouping ranges
-    # spatially gives the spatial coarse space with a (na, n/seg) operand —
-    # ~1000x smaller. Requires a bandwidth-reducing node order (RCM) so
-    # ranges are spatially tight; the banded kernels already enforce one.
+    # seg > 0: FACTORED restrict, EXACTLY equal to the dense one-hot Agg.
+    # Nodes reshape-sum into contiguous index ranges of `seg` nodes — but a
+    # range can straddle aggregate boundaries, so each node carries a SLOT:
+    # the rank of its aggregate among the distinct aggregates in its range
+    # (first-occurrence order). Restrict masks the reshape-sum per slot (m
+    # fused elementwise passes over one input), then maps (slot, range) ->
+    # aggregate. That map is BANDED — grid-cell aggregate ids (x-major key
+    # order) and RCM range ids both advance along the structure — so chunks
+    # of C consecutive ranges touch only a B-wide window of aggregate ids:
+    # `Gc` holds per-chunk local one-hot blocks and `gidx` the window ->
+    # global aggregate rows. The apply is one small batched matmul
+    # (n_fine*m*B*4 bytes ~ 30 MB at 145k nodes vs 600 MB for the dense
+    # (na, n) Agg) plus an (n_chunks*B)-row scatter/gather (~2k rows). NO
+    # quality loss: hard whole-range assignment was measured 57.5 CG at
+    # 100k where the exact factorization gives the dense mode's 35 (ranges
+    # are arcs of an RCM level set that straddle cell boundaries;
+    # majority-voting them cannot fix the raggedness).
     seg: int = struct.field(pytree_node=False, default=0)
-    group: jnp.ndarray = None  # (na, n_fine) one-hot, seg > 0 only
+    Gc: jnp.ndarray = None  # (n_chunks, B, m*C) local one-hot, seg > 0 only
+    gidx: jnp.ndarray = None  # (n_chunks*B,) window row -> aggregate (na=pad)
+    slot: jnp.ndarray = None  # (n_chunks*C, seg) int32 node slot (-1 = pad)
+    chunk: int = struct.field(pytree_node=False, default=0)  # C, seg > 0
+
+    def _masks(self):
+        m = self.Gc.shape[2] // self.chunk
+        nc = self.Gc.shape[0]
+        slot = self.slot.reshape(nc, 1, self.chunk, self.seg)
+        return slot == jnp.arange(m, dtype=self.slot.dtype).reshape(
+            1, m, 1, 1
+        )  # (nc, m, C, seg)
 
     def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
-        if self.rotations:
+        if self.k_modes == 6:
             # Augmented channels: translations and moments restricted in ONE
             # product/sum (each extra latency-bound op on the CG critical
             # path costs ~0.1-0.3 ms on this TPU — PERF_NOTES).
             r = jnp.concatenate([r, jnp.cross(self.u0, r)], axis=1)  # (n, 6)
+        elif self.k_modes == 12:
+            # Affine: channel 3 + 3a + b restricts sum_i u0[i, a] r[i, b].
+            outer = (self.u0[:, :, None] * r[:, None, :]).reshape(-1, 9)
+            r = jnp.concatenate([r, outer], axis=1)  # (n, 12)
         if self.seg:
-            n_fine = self.group.shape[1]
-            pad = n_fine * self.seg - r.shape[0]
-            rp = jnp.pad(r, ((0, pad), (0, 0)))
-            fine = jnp.sum(rp.reshape(n_fine, self.seg, -1), axis=1)
-            return (self.group @ fine).reshape(-1)
+            nc, B, mC = self.Gc.shape
+            k = r.shape[1]
+            pad = nc * self.chunk * self.seg - r.shape[0]
+            rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(
+                nc, 1, self.chunk, self.seg, k
+            )
+            fine = jnp.sum(
+                jnp.where(self._masks()[..., None], rp, 0.0), axis=3
+            )  # (nc, m, C, k)
+            rc_loc = jnp.einsum(
+                "cbq,cqk->cbk", self.Gc, fine.reshape(nc, mC, k)
+            )
+            na = self.n_agg
+            return (
+                jnp.zeros((na, k), rc_loc.dtype)
+                .at[self.gidx]
+                .add(rc_loc.reshape(-1, k))  # OOB (gidx == na) rows drop
+                .reshape(-1)
+            )
         return (self.Agg @ r).reshape(-1)
 
     def prolong(self, w: jnp.ndarray) -> jnp.ndarray:
-        k = 6 if self.rotations else 3
+        k = self.k_modes
         w = w.reshape(self.n_agg, k)
         if self.seg:
+            nc, B, mC = self.Gc.shape
             n = self.u0.shape[0]
-            fine = self.group.T @ w  # (n_fine, k)
-            z6 = jnp.repeat(fine, self.seg, axis=0)[:n]  # (n, k)
+            w_loc = w.at[self.gidx].get(
+                mode="fill", fill_value=0.0
+            ).reshape(nc, B, k)
+            fine = jnp.einsum("cbq,cbk->cqk", self.Gc, w_loc).reshape(
+                nc, -1, self.chunk, k
+            )  # (nc, m, C, k)
+            z6 = jnp.sum(
+                jnp.where(self._masks()[..., None], fine[:, :, :, None, :], 0.0),
+                axis=1,
+            )  # (nc, C, seg, k)
+            z6 = z6.reshape(-1, k)[:n]
         else:
             z6 = self.Agg.T @ w  # (n, k) — one matmul for both mode families
-        if not self.rotations:
+        if self.k_modes == 3:
             return z6
-        return z6[:, :3] + jnp.cross(z6[:, 3:], self.u0)
+        if self.k_modes == 6:
+            return z6[:, :3] + jnp.cross(z6[:, 3:], self.u0)
+        W9 = z6[:, 3:].reshape(-1, 3, 3)  # [a, b] layout (see restrict)
+        return z6[:, :3] + jnp.einsum("na,nab->nb", self.u0, W9)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         # Explicit-inverse matmul, not a triangular solve: cho_solve
@@ -199,13 +252,21 @@ class CoarsePrecond:
         return self.prolong(self.Ainv @ rhs)
 
 
-def _phi(u0_e, rotations: bool):
-    """Per-slot mode matrix Phi (…, 3, k): z = Phi @ [w; omega],
-    Phi = [I | -skew(u)]."""
+def _phi(u0_e, k_modes: int):
+    """Per-slot mode matrix Phi (…, 3, k): z = Phi @ w_modes.
+
+    k=3: Phi = I; k=6: [I | -skew(u)] (rigid); k=12: [I | u_x I | u_y I |
+    u_z I] (affine — column 3 + 3a + c is mode u_a e_c, matching
+    CoarsePrecond.restrict's channel layout)."""
     shape = u0_e.shape[:-1]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=u0_e.dtype), shape + (3, 3))
-    if not rotations:
+    if k_modes == 3:
         return eye
+    if k_modes == 12:
+        return jnp.concatenate(
+            [eye] + [u0_e[..., a, None, None] * eye for a in range(3)],
+            axis=-1,
+        )  # (..., 3, 12)
     ux, uy, uz = u0_e[..., 0], u0_e[..., 1], u0_e[..., 2]
     zero = jnp.zeros_like(ux)
     # -skew(u): rows of (-u x e_j) -> (-skew(u))[d, c]
@@ -227,6 +288,7 @@ def build_coarse_precond(
     rho,
     target_cluster: int = 48,
     rotations: bool = True,
+    modes: str = None,
     max_agg: int = 512,
     chunk: int = 16384,
     ranges: bool = False,
@@ -236,42 +298,76 @@ def build_coarse_precond(
     SVK materials (closed-form pair tangents). `max_agg` caps the coarse
     problem so the dense Agg matrix and Cholesky stay small at 100k+ elems.
 
-    ranges=True builds the SAME spatial-grid aggregates but applies
-    restrict/prolong in two stages: contiguous `seg`-node index ranges
-    reshape-sum for free, then a tiny (na, n/seg) one-hot `group` matmul
-    assigns each range to the spatial aggregate holding its centroid (see
-    CoarsePrecond.seg). The coarse space is spatial-quality (thin index
-    slices alone were measured useless at 100k: CG 74 -> 73) while the
-    dense (na, n) Agg matmul (~600 MB HBM per CG iteration at 145k nodes)
-    disappears. Requires a bandwidth-reducing node order (RCM) so ranges
-    are spatially tight.
+    ranges=True builds the SAME spatial-grid aggregates and an EXACTLY
+    equivalent restrict/prolong factored through contiguous `seg`-node
+    index ranges: per-slot masked reshape-sums plus a small one-hot
+    (m, na, n/seg) batched matmul, where m is the max number of distinct
+    aggregates any range touches (see CoarsePrecond.seg). Same CG counts
+    as dense mode by construction; the dense (na, n) Agg matmul (~600 MB
+    HBM per CG iteration at 145k nodes) disappears. A bandwidth-reducing
+    node order (RCM) keeps m small (the banded kernels already enforce
+    one); any order stays correct, just with larger m.
     """
+    if modes is None:
+        modes = "rigid" if rotations else "trans"
+    k_modes = {"trans": 3, "rigid": 6, "affine": 12}[modes]
     x0np = np.asarray(x0)
     n = x0np.shape[0]
     target_cluster = max(target_cluster, int(np.ceil(n / max_agg)))
     if ranges:
-        seg = min(64, target_cluster)
+        # The coarse SPACE is the node-level spatial grid — identical to
+        # dense mode. Only the restrict/prolong implementation is factored
+        # through contiguous `seg`-node ranges plus per-node slots (see
+        # CoarsePrecond.seg). Hard whole-range assignment loses real
+        # quality (57.5 CG at 100k vs 35 exact: ranges are arcs of an RCM
+        # level set that straddle cell boundaries), so assignment is exact.
+        seg = int(np.clip(target_cluster // 4, 1, 8))
         n_fine = -(-n // seg)
-        rid = np.minimum(np.arange(n) // seg, n_fine - 1)
-        cent_f = np.zeros((n_fine, 3))
-        cnt_f = np.zeros(n_fine)
-        np.add.at(cent_f, rid, x0np)
-        np.add.at(cnt_f, rid, 1.0)
-        cent_f /= cnt_f[:, None]
-        # Spatial grid over RANGE centroids, ~target_cluster nodes per cell.
-        fsetup = build_aggregates(
-            cent_f, target_cluster=max(1, target_cluster // seg)
+        setup = build_aggregates(x0np, target_cluster=target_cluster)
+        node_agg = np.asarray(setup.agg)
+        na_r = setup.n_agg
+        # Chunk ranges; pad the range count to whole chunks (slot -1 rows
+        # never match a mask) and the node count to whole ranges with
+        # copies of the last node's aggregate (pad positions carry zeros at
+        # apply time, so they only need a valid slot id).
+        C = min(256, n_fine)
+        n_chunks = -(-n_fine // C)
+        A = np.concatenate(
+            [node_agg, np.full(n_fine * seg - n, node_agg[-1], node_agg.dtype)]
+        ).reshape(n_fine, seg)
+        # slot[r, i] = rank of A[r, i] among the distinct aggregates of
+        # range r in first-occurrence order; leaders are positions whose
+        # aggregate is new within the range.
+        first = (A[:, :, None] == A[:, None, :]).argmax(axis=2)  # (nf, seg)
+        lead = first == np.arange(seg)[None, :]
+        slot_of_pos = np.cumsum(lead, axis=1) - 1
+        slot_np = np.take_along_axis(slot_of_pos, first, axis=1).astype(np.int32)
+        slot_np = np.concatenate(
+            [slot_np, np.full((n_chunks * C - n_fine, seg), -1, np.int32)]
         )
-        g_of_range = np.asarray(fsetup.agg)  # (n_fine,)
-        na_r = fsetup.n_agg
-        group_np = np.zeros((na_r, n_fine), dtype=x0np.dtype)
-        group_np[g_of_range, np.arange(n_fine)] = 1.0
-        setup = CoarseSetup(
-            agg=jnp.asarray(g_of_range[rid].astype(np.int32)), n_agg=na_r
-        )
+        m = int(lead.sum(axis=1).max())
+        # Per-chunk aggregate-id windows: grid-cell ids (x-major key order)
+        # and RCM range ids both advance along the structure, so each chunk
+        # of C consecutive ranges touches a narrow window [base, base + B).
+        rr, pp = np.nonzero(lead)  # leader (range, pos) pairs
+        gg = A[rr, pp]
+        cc = rr // C
+        base = np.full(n_chunks, np.iinfo(np.int64).max, np.int64)
+        hi = np.full(n_chunks, -1, np.int64)
+        np.minimum.at(base, cc, gg)
+        np.maximum.at(hi, cc, gg)
+        base = np.where(hi >= 0, base, 0)
+        B = int(max(1, (hi - base + 1).max()))
+        B = -(-B // 8) * 8
+        gidx = (base[:, None] + np.arange(B)[None, :]).reshape(-1)
+        gidx = np.where(gidx < na_r, gidx, na_r).astype(np.int32)  # OOB pad
+        Gc_np = np.zeros((n_chunks, B, m * C), dtype=x0np.dtype)
+        Gc_np[
+            cc, gg - base[cc], slot_of_pos[rr, pp] * C + (rr - cc * C)
+        ] = 1.0
     else:
-        seg = 0
-        group_np = None
+        seg = C = 0
+        Gc_np = slot_np = gidx = None
         setup = build_aggregates(x0np, target_cluster=target_cluster)
     na = setup.n_agg
     agg = np.asarray(setup.agg)
@@ -293,7 +389,7 @@ def build_coarse_precond(
 
     elems = system.elems
     material = system.material
-    k = 6 if rotations else 3
+    k = k_modes
     K = k * na
     x0_d = jnp.asarray(x0np.astype(dtype))
     u0_d = jnp.asarray(u0)
@@ -312,7 +408,7 @@ def build_coarse_precond(
         Kb = Kb * _viscous_factor(material, dt)
         eye = jnp.eye(3, dtype=Kb.dtype)
         Hb = Kb + (mass_c / dt)[..., None, None] * eye  # (e,S,S,3,3)
-        Phi = _phi(u0_d[conn_c], rotations)  # (e,S,3,k)
+        Phi = _phi(u0_d[conn_c], k_modes)  # (e,S,3,k)
         Ac6 = jnp.einsum("eadf,eabdc,ebcg->eabfg", Phi, Hb, Phi)
         ca = setup.agg[conn_c]
         S = conn_c.shape[1]
@@ -320,6 +416,12 @@ def build_coarse_precond(
         cols = jnp.tile(ca, (1, S)).reshape(-1)
         return Ac.at[rows, cols].add(Ac6.reshape(-1, k, k))
 
+    # The (chunk, S, S, k, k) assembly temps pad brutally under TPU (8,128)
+    # tiling (k=12 last dim pads 12 -> 128: 14.2x, 12.5 GB at chunk=16384 —
+    # compile-time OOM). Scale the chunk so the PADDED temp stays ~1 GB;
+    # assembly is one-time (frozen preconditioner), so more dispatches are
+    # fine.
+    chunk = max(512, chunk * 9 // (k * k))
     for s0 in range(0, E, chunk):
         s1 = min(s0 + chunk, E)
         Ac = accumulate(
@@ -338,7 +440,7 @@ def build_coarse_precond(
         d = cons.jtj_diag(n, Ac.dtype)
         if d.ndim == 1:
             d = d[:, None] * jnp.ones((1, 3), Ac.dtype)
-        Phi_n = _phi(u0_d, rotations)  # (n,3,k)
+        Phi_n = _phi(u0_d, k_modes)  # (n,3,k)
         pen = jnp.einsum("ndf,nd,ndg->nfg", Phi_n, (dt * dt * rho) * d, Phi_n)
         pen_a = jnp.zeros((na, k, k), dtype=Ac.dtype).at[setup.agg].add(pen)
         Ac = Ac.at[jnp.arange(na), jnp.arange(na)].add(pen_a)
@@ -353,10 +455,13 @@ def build_coarse_precond(
         Agg=None if Aggd is None else jnp.asarray(Aggd),
         u0=u0_d,
         Ainv=Ainv,
-        rotations=rotations,
+        k_modes=k_modes,
         n_agg=na,
         seg=seg,
-        group=None if group_np is None else jnp.asarray(group_np),
+        Gc=None if Gc_np is None else jnp.asarray(Gc_np),
+        gidx=None if gidx is None else jnp.asarray(gidx),
+        slot=None if slot_np is None else jnp.asarray(slot_np),
+        chunk=C,
     )
 
 
