@@ -609,7 +609,7 @@ def from_windows(outw, bnd):
 
 
 def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
-                     u_prev=None, bdata=None):
+                     u_prev=None, bdata=None, pin_terms=None):
     """ALM gradient + Hessian-vector operator via the banded fused kernels:
     the primal pass is ONE kernel (in-window gather of [u|v|dv], element
     algebra, in-window scatter, per-QP Hv prep), and each CG Hv is ONE
@@ -621,6 +621,22 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
     bdata: the handle's `data` pytree threaded through the enclosing jit as
     an ARGUMENT (see newton.make_step) — without it the tables become jaxpr
     constants, which overflows the remote-compile request at 100k elems.
+
+    pin_terms: optional (pin_aff (n,3), pin_lin (n,1)) DENSE pin-constraint
+    fields precomputed OUTSIDE the solver's while_loop nest (see
+    newton._newton_inner), with
+        pin_aff = dt * (lam_dense - rho * tgt_dense)
+        pin_lin = dt * rho * pinmask
+    so the ALM pin gradient is the all-dense `pin_aff + pin_lin * u` and
+    the Hv pin term `dt * pin_lin * p`. REQUIRED under `lax.scan` rollouts:
+    the sparse alternative (`g.at[idx].add(dt*(lam + rho c))`, a scatter of
+    the scan-carried dual into this kernel's output inside the CG/Newton
+    while nest) miscompiles on TPU for some banded table layouts — the
+    solve returns garbage dv while the SAME graph called outside scan is
+    exact (probed at 10.6k elems: PCA-sorted node order corrupt, RCM
+    clean; g/Hv/precond/PCG all bit-exact in isolation). Dense math makes
+    the layout question moot and is also faster (no row-granular op on the
+    CG path, PERF_NOTES cost model).
     """
     from tlfea.constraints import FixedCoefs
     from tlfea.elements.assembly import node_ref
@@ -639,23 +655,26 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
     packed = jnp.concatenate([u, v, (v - v_prev) / dt], axis=1)  # (n, 9)
     outw, prepT = bnd.primal_fn(to_windows(packed, bnd), bdata)
     g = from_windows(outw, bnd)
-    if isinstance(cons, FixedCoefs):
+    pin_lin = None
+    if pin_terms is not None:
+        pin_aff, pin_lin = pin_terms
+        g = g + pin_aff + pin_lin * u
+    elif isinstance(cons, FixedCoefs):
         c = cons.eval_c_u(u, x_ref)
         g = g.at[cons.idx].add(dt * (lam_dual + rho * c))
         # Hv pin term without a scatter: the ALM pin Hessian is diagonal
         # (dt^2 rho at pinned nodes), so a dense node mask replaces the
         # row-granular scatter-add of the flat path.
         pinmask = jnp.zeros((g.shape[0], 1), dtype).at[cons.idx].set(1.0)
-    else:
-        pinmask = None
+        pin_lin = dt * rho * pinmask
     g = g - f_ext
 
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
 
     def hvp(p):
         h = from_windows(bnd.hv_fn(dt_arr, to_windows(p, bnd), prepT, bdata), bnd)
-        if pinmask is not None:
-            h = h + (dt * dt * rho) * pinmask * p
+        if pin_lin is not None:
+            h = h + dt * pin_lin * p
         return h
 
     return g, hvp

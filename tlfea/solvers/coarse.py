@@ -163,27 +163,27 @@ class CoarsePrecond:
     # aggregate. That map is BANDED — grid-cell aggregate ids (x-major key
     # order) and RCM range ids both advance along the structure — so chunks
     # of C consecutive ranges touch only a B-wide window of aggregate ids:
-    # `Gc` holds per-chunk local one-hot blocks and `gidx` the window ->
-    # global aggregate rows. The apply is one small batched matmul
-    # (n_fine*m*B*4 bytes ~ 30 MB at 145k nodes vs 600 MB for the dense
-    # (na, n) Agg) plus an (n_chunks*B)-row scatter/gather (~2k rows). NO
-    # quality loss: hard whole-range assignment was measured 57.5 CG at
-    # 100k where the exact factorization gives the dense mode's 35 (ranges
-    # are arcs of an RCM level set that straddle cell boundaries;
-    # majority-voting them cannot fix the raggedness).
+    # `Gc` holds per-chunk local one-hot blocks and `Gmap` the (na, nc*B)
+    # window-row -> global-aggregate one-hot. The apply is one small batched
+    # matmul (n_fine*m*B*4 bytes ~ 30 MB at 145k nodes vs 600 MB for the
+    # dense (na, n) Agg) plus a tiny (na, nc*B) matmul. NO quality loss:
+    # hard whole-range assignment was measured 57.5 CG at 100k where the
+    # exact factorization gives the dense mode's 35 (ranges are arcs of an
+    # RCM level set that straddle cell boundaries; majority-voting them
+    # cannot fix the raggedness).
+    # All arrays in the seg > 0 apply are FLOAT one-hots — zero integer
+    # indexing (gather/scatter/compare) on the CG critical path: matmuls
+    # beat row-granular scatter/gather on TPU (PERF_NOTES cost model), and
+    # keeping the hot loop free of indexed ops removes a whole class of
+    # layout-dependent TPU miscompiles (a scan-rollout corruption first
+    # blamed on this apply was eventually traced to the ALM dual scatter —
+    # see newton._newton_inner's pin_terms — after every apply variant,
+    # integer or float, produced identical garbage).
     seg: int = struct.field(pytree_node=False, default=0)
     Gc: jnp.ndarray = None  # (n_chunks, B, m*C) local one-hot, seg > 0 only
-    gidx: jnp.ndarray = None  # (n_chunks*B,) window row -> aggregate (na=pad)
-    slot: jnp.ndarray = None  # (n_chunks*C, seg) int32 node slot (-1 = pad)
+    Gmap: jnp.ndarray = None  # (na, n_chunks*B) f32 window row -> aggregate
+    smask: jnp.ndarray = None  # (n_chunks, m, C, seg) f32 slot one-hot
     chunk: int = struct.field(pytree_node=False, default=0)  # C, seg > 0
-
-    def _masks(self):
-        m = self.Gc.shape[2] // self.chunk
-        nc = self.Gc.shape[0]
-        slot = self.slot.reshape(nc, 1, self.chunk, self.seg)
-        return slot == jnp.arange(m, dtype=self.slot.dtype).reshape(
-            1, m, 1, 1
-        )  # (nc, m, C, seg)
 
     def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
         if self.k_modes == 6:
@@ -200,21 +200,13 @@ class CoarsePrecond:
             k = r.shape[1]
             pad = nc * self.chunk * self.seg - r.shape[0]
             rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(
-                nc, 1, self.chunk, self.seg, k
+                nc, self.chunk, self.seg, k
             )
-            fine = jnp.sum(
-                jnp.where(self._masks()[..., None], rp, 0.0), axis=3
-            )  # (nc, m, C, k)
+            fine = jnp.einsum("ncsk,nmcs->nmck", rp, self.smask)
             rc_loc = jnp.einsum(
                 "cbq,cqk->cbk", self.Gc, fine.reshape(nc, mC, k)
             )
-            na = self.n_agg
-            return (
-                jnp.zeros((na, k), rc_loc.dtype)
-                .at[self.gidx]
-                .add(rc_loc.reshape(-1, k))  # OOB (gidx == na) rows drop
-                .reshape(-1)
-            )
+            return (self.Gmap @ rc_loc.reshape(-1, k)).reshape(-1)
         return (self.Agg @ r).reshape(-1)
 
     def prolong(self, w: jnp.ndarray) -> jnp.ndarray:
@@ -223,16 +215,11 @@ class CoarsePrecond:
         if self.seg:
             nc, B, mC = self.Gc.shape
             n = self.u0.shape[0]
-            w_loc = w.at[self.gidx].get(
-                mode="fill", fill_value=0.0
-            ).reshape(nc, B, k)
+            w_loc = (self.Gmap.T @ w).reshape(nc, B, k)
             fine = jnp.einsum("cbq,cbk->cqk", self.Gc, w_loc).reshape(
                 nc, -1, self.chunk, k
             )  # (nc, m, C, k)
-            z6 = jnp.sum(
-                jnp.where(self._masks()[..., None], fine[:, :, :, None, :], 0.0),
-                axis=1,
-            )  # (nc, C, seg, k)
+            z6 = jnp.einsum("nmck,nmcs->ncsk", fine, self.smask)
             z6 = z6.reshape(-1, k)[:n]
         else:
             z6 = self.Agg.T @ w  # (n, k) — one matmul for both mode families
@@ -360,14 +347,22 @@ def build_coarse_precond(
         B = int(max(1, (hi - base + 1).max()))
         B = -(-B // 8) * 8
         gidx = (base[:, None] + np.arange(B)[None, :]).reshape(-1)
-        gidx = np.where(gidx < na_r, gidx, na_r).astype(np.int32)  # OOB pad
         Gc_np = np.zeros((n_chunks, B, m * C), dtype=x0np.dtype)
         Gc_np[
             cc, gg - base[cc], slot_of_pos[rr, pp] * C + (rr - cc * C)
         ] = 1.0
+        # Float one-hots for the apply (no integer indexing on the CG path —
+        # see the CoarsePrecond.seg comment).
+        Gmap_np = np.zeros((na_r, n_chunks * B), dtype=x0np.dtype)
+        inb = np.nonzero(gidx < na_r)[0]
+        Gmap_np[gidx[inb], inb] = 1.0  # OOB window rows stay all-zero
+        smask_np = (
+            slot_np.reshape(n_chunks, C, 1, seg)
+            == np.arange(m).reshape(1, 1, m, 1)
+        ).transpose(0, 2, 1, 3).astype(x0np.dtype)  # (nc, m, C, seg)
     else:
         seg = C = 0
-        Gc_np = slot_np = gidx = None
+        Gc_np = Gmap_np = smask_np = None
         setup = build_aggregates(x0np, target_cluster=target_cluster)
     na = setup.n_agg
     agg = np.asarray(setup.agg)
@@ -459,8 +454,8 @@ def build_coarse_precond(
         n_agg=na,
         seg=seg,
         Gc=None if Gc_np is None else jnp.asarray(Gc_np),
-        gidx=None if gidx is None else jnp.asarray(gidx),
-        slot=None if slot_np is None else jnp.asarray(slot_np),
+        Gmap=None if Gmap_np is None else jnp.asarray(Gmap_np),
+        smask=None if smask_np is None else jnp.asarray(smask_np),
         chunk=C,
     )
 

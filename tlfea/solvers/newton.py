@@ -155,12 +155,36 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         and not system.accum_dtype
     )
 
+    # Dense pin-constraint fields for the banded path, expanded ONCE here —
+    # OUTSIDE the Newton/CG while_loop nest. Inside the nest the ALM pin
+    # term is then pure dense math (`pin_aff + pin_lin * u`): a scatter of
+    # the scan-carried dual `lam` into the banded kernel's output inside
+    # the nest miscompiles on TPU for some table layouts (see
+    # `g_and_hvp_banded`'s pin_terms docstring for the probe evidence).
+    pin_terms = None
+    if use_banded and isinstance(system.constraints, FixedCoefs):
+        from tlfea.elements.assembly import node_ref
+
+        cons = system.constraints
+        x_ref = node_ref(system.elems)
+        n = x_ref.shape[0]
+        zero3 = jnp.zeros((n, 3), v0.dtype)
+        lam_dense = zero3.at[cons.idx].set(lam.astype(v0.dtype))
+        # Same f32 grouping as FixedCoefs.eval_c_u: the displacement-scale
+        # (target - x_ref) is one term, never rounded against coordinates.
+        tgt_dense = zero3.at[cons.idx].set(
+            (cons.target - x_ref[cons.idx]).astype(v0.dtype)
+        )
+        pinmask = jnp.zeros((n, 1), v0.dtype).at[cons.idx].set(1.0)
+        pin_terms = (dt * (lam_dense - rho * tgt_dense), dt * rho * pinmask)
+
     def linearize_g(v):
         if use_banded:
             from tlfea.ops.pallas_banded import g_and_hvp_banded
 
             return g_and_hvp_banded(v, x_prev, v_prev, lam, f_ext, dt, rho,
-                                    system, u_prev=u_prev, bdata=bdata)
+                                    system, u_prev=u_prev, bdata=bdata,
+                                    pin_terms=pin_terms)
         if use_pallas_hv:
             from tlfea.ops.pallas_fem import g_and_hvp
 
@@ -311,12 +335,13 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
 
     hist0 = jnp.full((params.max_inner + 1,), jnp.nan, dtype=state.v.dtype)
     init = (
-        v_init, state.v, state.lam, 0,
-        jnp.asarray(jnp.inf, dtype=state.v.dtype), 0, 0, hist0,
+        v_init, state.v, state.lam, jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, dtype=state.v.dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), hist0,
         jnp.asarray(False),
     )
-    v, _, lam, outers, norm_c, newton_tot, cg_tot, hist, ok = jax.lax.while_loop(
-        outer_cond, outer_body, init
+    v, _, lam, outers, norm_c, newton_tot, cg_tot, hist, ok = (
+        jax.lax.while_loop(outer_cond, outer_body, init)
     )
     u = u_prev + params.dt * v  # displacement-scale state update (exact)
     # Derived geometry for collision/IO consumers; keeps the state dtype
