@@ -156,7 +156,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/tlfea_jit_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    scales = os.environ.get("TLFEA_BENCH_SCALES", "1k,10k,10k_tight").split(",")
+    scales = os.environ.get(
+        "TLFEA_BENCH_SCALES", "1k,10k,10k_tight,100k"
+    ).split(",")
     series = {}
     for name in scales:
         name = name.strip()

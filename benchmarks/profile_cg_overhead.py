@@ -2,9 +2,10 @@
 preconditioner applies, dots, axpys — the candidate fusion target once the
 banded kernels shrink the Hessian-vector product itself.
 
-Times, at the 10.6k bench problem: a 10-iteration PCG loop with the REAL
-preconditioner but a trivial (identity) operator, the block-Jacobi apply
-alone, the coarse apply alone, and the full real PCG loop for reference.
+Times, at TLFEA_SCALE=1k|10k|100k (default 10k): a 10-iteration PCG loop
+with the REAL preconditioner but a trivial (identity) operator, the
+block-Jacobi apply alone, the coarse apply alone, and the full real PCG
+loop for reference. TLFEA_COARSE_MODE=dense|range, TLFEA_MAX_AGG.
 """
 
 import os
@@ -31,12 +32,20 @@ from tlfea.solvers import StepState, System
 from tlfea.solvers.common import precond_blocks
 from tlfea.solvers.coarse import build_coarse_precond
 from tlfea.solvers.newton import _pcg
-from tlfea.utils.reorder import apply_node_order, rcm_order
+from tlfea.utils.reorder import apply_node_order, best_order
 from tlfea.utils.tetmesh import box_t10_mesh
 
+CONFIGS = {
+    "1k": (1.0, 0.25, 0.25, 12, 4, 3),
+    "10k": (2.0, 0.35, 0.3, 42, 7, 6),
+    "100k": (4.0, 0.7, 0.6, 96, 16, 11),
+}
+scale = os.environ.get("TLFEA_SCALE", "10k")
 dtype = np.float32
-nodes, conn = box_t10_mesh(2.0, 0.35, 0.3, 42, 7, 6)
-nodes, conn = apply_node_order(nodes, conn, rcm_order(conn, len(nodes)))
+L, Wd, H, nx, ny, nz = CONFIGS[scale]
+nodes, conn = box_t10_mesh(L, Wd, H, nx, ny, nz)
+nodes, conn = apply_node_order(nodes, conn, best_order(nodes, conn))
+print(f"[{scale}] elems={conn.shape[0]} nodes={nodes.shape[0]}", flush=True)
 lam, mu = lame_from_E_nu(1e7, 0.3)
 mat = SVK(lam=jnp.asarray(lam, dtype), mu=jnp.asarray(mu, dtype),
           eta_damp=jnp.asarray(1e3, dtype), lam_damp=jnp.asarray(1e3, dtype))
@@ -45,6 +54,7 @@ elems = feat10.build(nodes, conn, rho=1000.0, dtype=dtype)
 system = System(elems=elems, material=mat,
                 constraints=FixedCoefs.from_indices(fixed, nodes.astype(dtype)))
 system = pallas_fem.with_pallas(system, banded=True)
+bdata = system.pallas.banded.data
 state = StepState.rest(system, nodes.astype(dtype))
 f_ext = jnp.zeros((nodes.shape[0], 3), dtype).at[:, 2].add(
     lumped_mass(elems) * dtype(-9.81))
@@ -54,7 +64,13 @@ p = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype)
 
 blocks = precond_blocks(v, x, dt, rho, system)
 inv_b = inv3x3(blocks, eps=1e-30)
-coarse = build_coarse_precond(system, x, float(dt), float(rho))
+ckw = {}
+if os.environ.get("TLFEA_COARSE_MODE"):
+    ckw["mode"] = os.environ["TLFEA_COARSE_MODE"]
+if os.environ.get("TLFEA_MAX_AGG"):
+    ckw["max_agg"] = int(os.environ["TLFEA_MAX_AGG"])
+coarse = build_coarse_precond(system, x, float(dt), float(rho), **ckw)
+print(f"coarse: n_agg={coarse.n_agg} k={coarse.Ainv.shape[0]}", flush=True)
 
 
 def timeit(name, fn, *args, iters=30, inner=1):
@@ -74,45 +90,61 @@ def bj(r):
     return jnp.einsum("nij,nj->ni", inv_b, r)
 
 
-def full_pre(r):
-    return bj(r) + coarse.apply(r)
+def full_pre(r, co):
+    return bj(r) + co.apply(r)
 
 
 timeit("block-Jacobi apply", bj, p)
-timeit("coarse apply", lambda r: coarse.apply(r), p)
-timeit("bj+coarse apply", full_pre, p)
+timeit("coarse apply", lambda r, co: co.apply(r), p, coarse)
+timeit("bj+coarse apply", full_pre, p, coarse)
+
+# Window plumbing (the banded path's per-Hv XLA cost outside the kernel)
+bnd = system.pallas.banded
+timeit("to_windows (3ch)", lambda q: pallas_banded.to_windows(q, bnd), p)
+timeit("to+from_windows round trip",
+       lambda q: pallas_banded.from_windows(
+           pallas_banded.to_windows(q, bnd).reshape(
+               bnd.n_wins, 3, bnd.WR2, 128)[:, :3].reshape(
+               bnd.n_wins, 3 * bnd.WR2, 128), bnd), p)
 
 
-def loop(pre, hvp, pp, iters=10):
-    def run(b):
-        x, k, _ = _pcg(hvp, pre, b, 0.0, iters)
-        return x
+def loop(pre, hvp, iters=10):
+    def run(b, co):
+        def pr(r):
+            return pre(r, co)
+        xx, k, _ = _pcg(hvp, pr, b, 0.0, iters)
+        return xx
     return run
 
 
-timeit("10-iter PCG, identity Hv, bj+coarse", loop(full_pre, lambda q: q, p),
-       p, iters=10, inner=10)
-timeit("10-iter PCG, identity Hv, bj only", loop(bj, lambda q: q, p),
-       p, iters=10, inner=10)
+timeit("10-iter PCG, identity Hv, bj+coarse",
+       loop(full_pre, lambda q: q), p, coarse, iters=10, inner=10)
+timeit("10-iter PCG, identity Hv, bj only",
+       loop(lambda r, co: bj(r), lambda q: q), p, coarse, iters=10, inner=10)
 timeit("10-iter PCG, identity Hv, identity pre",
-       loop(lambda r: r, lambda q: q, p), p, iters=10, inner=10)
-
-# Real operator for reference (banded + flat)
-g, hvp_b = pallas_banded.g_and_hvp_banded(v, x, v, state.lam, f_ext, dt, rho, system)
+       loop(lambda r, co: r, lambda q: q), p, coarse, iters=10, inner=10)
 
 
-def real_banded(b):
+def real_banded(b, co, bd):
     _, hv = pallas_banded.g_and_hvp_banded(v, x, v, state.lam, f_ext, dt,
-                                           rho, system)
-    xx, k, _ = _pcg(hv, full_pre, b, 0.0, 10)
+                                           rho, system, bdata=bd)
+    xx, k, _ = _pcg(hv, lambda r: full_pre(r, co), b, 0.0, 10)
     return xx
 
 
-def real_flat(b):
-    _, hv = pallas_fem.g_and_hvp(v, x, v, state.lam, f_ext, dt, rho, system)
-    xx, k, _ = _pcg(hv, full_pre, b, 0.0, 10)
-    return xx
+timeit("10-iter PCG, banded Hv, bj+coarse", real_banded, p, coarse, bdata,
+       iters=10, inner=10)
+timeit("10-iter PCG, banded Hv, bj only",
+       lambda b, bd: _pcg(pallas_banded.g_and_hvp_banded(
+           v, x, v, state.lam, f_ext, dt, rho, system, bdata=bd)[1],
+           bj, b, 0.0, 10)[0],
+       p, bdata, iters=10, inner=10)
+if scale != "100k":
+    def real_flat(b):
+        _, hv = pallas_fem.g_and_hvp(v, x, v, state.lam, f_ext, dt, rho,
+                                     system)
+        xx, k, _ = _pcg(hv, lambda r: full_pre(r, coarse), b, 0.0, 10)
+        return xx
 
-
-timeit("10-iter PCG, banded Hv, bj+coarse", real_banded, p, iters=10, inner=10)
-timeit("10-iter PCG, flat Hv, bj+coarse", real_flat, p, iters=10, inner=10)
+    timeit("10-iter PCG, flat Hv, bj+coarse", real_flat, p, iters=10,
+           inner=10)

@@ -104,6 +104,20 @@ def test_scatter_schedule_emulation(reorder):
 
     # Scatter emulation: walk the item tables exactly as the kernel does.
     fe = rng.normal(size=(bnd.n_blocks, S, SUB, LANE, 3))
+    fe_orig = fe.copy()  # the direct-scatter reference uses raw values
+    # In-row combine passes first (simultaneous-update semantics per pass,
+    # matching the kernel's read-then-write of the whole (SUB, ROW) tile).
+    if bnd.P_comb:
+        comb5 = sch["comb"].reshape(bnd.n_blocks, bnd.P_comb, S, SUB, ROW)
+        for b in range(bnd.n_blocks):
+            for p in range(bnd.P_comb):
+                for a in range(S):
+                    old = fe[b, a].copy()  # (SUB, LANE, 3)
+                    cb = comb5[b, p, a]  # (SUB, ROW)
+                    ok = cb >= 0
+                    src = np.where(ok, cb, 0)
+                    gathered = old[np.arange(SUB)[:, None], src]
+                    fe[b, a] = old + np.where(ok[..., None], gathered, 0.0)
     acc = np.zeros(((bnd.n_wins + 2) * bnd.W, 3))
     inv4 = sch["inv"].reshape(bnd.n_blocks, bnd.I_cap, SUB, ROW)
     for b in range(bnd.n_blocks):
@@ -121,7 +135,7 @@ def test_scatter_schedule_emulation(reorder):
     for a in range(S):
         np.add.at(
             ref, conn_s[:, a],
-            fe[eids // EBLK, a, (eids % EBLK) // LANE, eids % LANE],
+            fe_orig[eids // EBLK, a, (eids % EBLK) // LANE, eids % LANE],
         )
     assert np.allclose(acc, ref, atol=1e-12), "scatter schedule mismatch"
 

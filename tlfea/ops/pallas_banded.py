@@ -81,13 +81,74 @@ def _tp_tiles(a, E, E_pad, dtype):
     return out.reshape(flat.shape[0], E_pad // LANE, LANE)
 
 
-def _build_scatter_items(cl, E, n_blocks, S, RT):
+def _build_combine(cl, E, n_blocks, S):
+    """Host-scheduled in-row duplicate reduction (binary combine tree).
+
+    Two elements in the same source row (block, slot a, subrow s) sharing a
+    target node would force collision-rank item passes in the scatter (each
+    rank is a full extra (8,128) shuffle item for <=128 lanes). Instead the
+    kernel merges them IN the source row first: pass p adds lane
+    comb[p, row, lane] into lane (-1 = no-op), a host-built binary tree per
+    duplicate group, so only the group's first lane (the representative)
+    carries the sum and enters the scatter schedule. Measured at 100k elems
+    this cuts items/block 364 -> 146 with P=3 passes (max group size 6).
+
+    Returns (comb (n_blocks, P*S*SUB, ROW) int32 or None, rep (E_pad, S)
+    bool, P).
+    """
+    E_pad = n_blocks * EBLK
+    rep = np.ones((E_pad, S), bool)
+    rep[E:] = False  # padding lanes never scatter
+    combs = []  # (p, b, a, s, lane) -> src lane
+    P = 0
+    for b in range(n_blocks):
+        nreal = min(EBLK, E - b * EBLK)
+        for a in range(S):
+            w = cl[b * EBLK:b * EBLK + nreal, a]
+            for s in range(SUB):
+                seg = w[s * LANE:(s + 1) * LANE]
+                if seg.size == 0:
+                    continue
+                order = np.argsort(seg, kind="stable")
+                ws = seg[order]
+                grp_new = np.ones(ws.size, bool)
+                grp_new[1:] = ws[1:] != ws[:-1]
+                starts = np.nonzero(grp_new)[0]
+                sizes = np.diff(np.append(starts, ws.size))
+                for st, m in zip(starts, sizes):
+                    if m < 2:
+                        continue
+                    lanes = np.sort(order[st:st + m])
+                    rep[b * EBLK + s * LANE + lanes[1:], a] = False
+                    p = 0
+                    stride = 1
+                    while stride < m:
+                        for i in range(0, m - stride, 2 * stride):
+                            combs.append(
+                                (p, b, a, s, lanes[i], lanes[i + stride])
+                            )
+                        p += 1
+                        stride *= 2
+                    P = max(P, p)
+    if P == 0:
+        return None, rep, 0
+    comb = np.full((n_blocks, P, S, SUB, ROW), -1, np.int32)
+    for p, b, a, s, dst, src in combs:
+        comb[b, p, a, s, dst] = src
+    return comb.reshape(n_blocks, P * S * SUB, ROW), rep, P
+
+
+def _build_scatter_items(cl, E, n_blocks, S, RT, rep=None):
     """Static inverse-shuffle scatter schedule (vectorized host build).
 
     For every real (element lane, slot) pair the target window position is
     w = cl; tuples (block, target row-tile rt, source row fid = a*8 + s,
     collision rank) become items; each item is an (8,128) int32 tile mapping
     output (sublane, lane) -> source lane (-1 empty).
+
+    rep: optional (E_pad, S) bool — only representative tuples (duplicate
+    groups pre-combined in-row, `_build_combine`) enter the schedule, so
+    every item is rank-free.
 
     Returns (inv (n_blocks, I_cap*8, 128) int32, fid (n_blocks, I_cap) int32,
     ranges (n_blocks, RT, 2) int32 [start, count], I_cap).
@@ -99,11 +160,14 @@ def _build_scatter_items(cl, E, n_blocks, S, RT):
     lane = e_idx % LANE
 
     # Flatten all (element, slot) tuples.
-    b_t = np.repeat(blk, S)[np.repeat(valid, S)]
-    s_t = np.repeat(sub, S)[np.repeat(valid, S)]
-    l_t = np.repeat(lane, S)[np.repeat(valid, S)]
-    a_t = np.tile(np.arange(S), n_blocks * EBLK)[np.repeat(valid, S)]
-    w_t = cl[e_idx.repeat(S)[np.repeat(valid, S)], a_t]
+    valid_t = np.repeat(valid, S)
+    if rep is not None:
+        valid_t = valid_t & rep.reshape(-1)
+    b_t = np.repeat(blk, S)[valid_t]
+    s_t = np.repeat(sub, S)[valid_t]
+    l_t = np.repeat(lane, S)[valid_t]
+    a_t = np.tile(np.arange(S), n_blocks * EBLK)[valid_t]
+    w_t = cl[e_idx.repeat(S)[valid_t], a_t]
 
     fid_t = a_t * SUB + s_t
     R_t = w_t // ROW
@@ -293,8 +357,9 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     r0 = r4.min(axis=1).astype(np.int32)  # (n_blocks, S)
     K = int((r4.max(axis=1) - r0).max()) + 1
 
+    comb_np, rep_np, P_comb = _build_combine(cl, E, n_blocks, S)
     inv_np, fid_np, ranges_np, I_cap = _build_scatter_items(
-        cl, E, n_blocks, S, RT
+        cl, E, n_blocks, S, RT, rep=rep_np
     )
 
     first = np.ones(n_blocks, np.int32)
@@ -338,7 +403,7 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
 
     phys = dict(Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
                 damped=damped, tmask=elems.trans_mask)
-    geom = dict(K=K, RT=RT, WR2=WR2, I_cap=I_cap)
+    geom = dict(K=K, RT=RT, WR2=WR2, I_cap=I_cap, P_comb=P_comb)
 
     def _ind0(b, *s):  # element-space blocks
         return (0, b, 0)
@@ -364,6 +429,10 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     # is 100s of MB at 100k elems (HTTP 413). The prefetch scalars stay
     # closure constants (KBs).
     data = dict(inv=inv_T, cl=cl_T, gN=gN_T, dV=dV_T, Me=Me_T)
+    comb_specs = []
+    if P_comb:
+        data["comb"] = jnp.asarray(comb_np)
+        comb_specs = [pl.BlockSpec((1, P_comb * S * SUB, ROW), _indb)]
 
     def hv_fn(dt_arr, win3, prepT, data):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -373,18 +442,20 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,1)
                 pl.BlockSpec((1, 3 * WR2, ROW), _indw),
                 pl.BlockSpec((1, I_cap * SUB, ROW), _indb),
+                *comb_specs,
                 *_especs([S, PR, Q * S * 3, Q, S * S]),
             ],
             out_specs=pl.BlockSpec((1, 3 * WR2, ROW), _indw),
             scratch_shapes=scratch,
         )
+        comb_in = (data["comb"],) if P_comb else ()
         return pl.pallas_call(
             hv_body,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_wins, 3 * WR2, ROW), win3.dtype),
             interpret=interpret,
         )(wb_j, first_j, r0_j, fid_j, ranges_j,
-          dt_arr, win3, data["inv"], data["cl"], prepT,
+          dt_arr, win3, data["inv"], *comb_in, data["cl"], prepT,
           data["gN"], data["dV"], data["Me"])
 
     def primal_fn(win9, data):
@@ -394,6 +465,7 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             in_specs=[
                 pl.BlockSpec((1, 9 * WR2, ROW), _indw),
                 pl.BlockSpec((1, I_cap * SUB, ROW), _indb),
+                *comb_specs,
                 *_especs([S, Q * S * 3, Q, S * S]),
             ],
             out_specs=[
@@ -402,6 +474,7 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             ],
             scratch_shapes=scratch,
         )
+        comb_in = (data["comb"],) if P_comb else ()
         return pl.pallas_call(
             primal_body,
             grid_spec=grid_spec,
@@ -411,17 +484,18 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             ],
             interpret=interpret,
         )(wb_j, first_j, r0_j, fid_j, ranges_j,
-          win9, data["inv"], data["cl"], data["gN"], data["dV"], data["Me"])
+          win9, data["inv"], *comb_in, data["cl"], data["gN"], data["dV"],
+          data["Me"])
 
     return BandedHandle(
         hv_fn=hv_fn, primal_fn=primal_fn, data=data,
-        W=W, WR=WR, WR2=WR2, RT=RT, K=K, I_cap=I_cap,
+        W=W, WR=WR, WR2=WR2, RT=RT, K=K, I_cap=I_cap, P_comb=P_comb,
         n_wins=n_wins, n_blocks=n_blocks, E=E, E_pad=E_pad, S=S, Q=Q,
         PR=PR, n=n, span=span, order=order,
         visited=jnp.asarray(visited.reshape(n_wins, 1, 1, 1)),
         # Host schedule (NumPy) — kept for tests/diagnostics.
         sched=dict(cl=cl, wb=wb, r0=r0, inv=inv_np, fid=fid_np,
-                   ranges=ranges_np, first=first),
+                   ranges=ranges_np, first=first, comb=comb_np, rep=rep_np),
     )
 
 
@@ -461,7 +535,7 @@ def _window_gather(b, win_ref, cl_ref, r0_r, S, n_chan, K, WR2, dtype):
 
 
 def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
-                    S, RT, WR2, I_cap, dtype):
+                    S, RT, WR2, I_cap, dtype, comb_ref=None, P_comb=0):
     """Static inverse-shuffle scatter: per output row-tile, iterate its
     host-scheduled items; each broadcasts one fe source row, lane-shuffles
     it into output positions, and mask-adds (3 channels share the index
@@ -475,6 +549,21 @@ def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
     single carried accumulator serializes the SMEM-read -> dynamic-slice ->
     shuffle -> mask-add chain, which dominated per-block time at 100k."""
     FR = S * SUB  # fe scratch rows per channel
+
+    # In-row duplicate combine (see _build_combine): P_comb tree passes
+    # merge same-target lanes inside each source row so every scheduled
+    # item below is rank-free (measured 2.5x fewer items at 100k elems).
+    for p in range(P_comb):
+        for a in range(S):
+            cb = comb_ref[0, pl.ds((p * S + a) * SUB, SUB), :]
+            ok = cb >= 0
+            qi = jnp.where(ok, cb, 0)
+            for c in range(3):
+                rows = fes_ref[pl.ds(c * FR + a * SUB, SUB), :]
+                sh = jnp.take_along_axis(rows, qi, axis=1)
+                fes_ref[pl.ds(c * FR + a * SUB, SUB), :] = (
+                    rows + jnp.where(ok, sh, 0.0)
+                )
 
     for rt in range(RT):
         start = ranges_r[(b * RT + rt) * 2]
@@ -515,10 +604,15 @@ def _store_fe(fes_ref, fe, S):
 
 def _hv_banded_body(
     wb_r, first_r, r0_r, fid_r, ranges_r,
-    dt_ref, win_ref, inv_ref, cl_ref, prep_ref, gN_ref, dV_ref, Me_ref,
-    out_ref, fes_ref,
-    *, Q, S, lam, mu, eta, lam_d, damped, tmask, PR, K, RT, WR2, I_cap,
+    dt_ref, win_ref, inv_ref, *rest,
+    Q, S, lam, mu, eta, lam_d, damped, tmask, PR, K, RT, WR2, I_cap, P_comb,
 ):
+    if P_comb:
+        (comb_ref, cl_ref, prep_ref, gN_ref, dV_ref, Me_ref,
+         out_ref, fes_ref) = rest
+    else:
+        comb_ref = None
+        cl_ref, prep_ref, gN_ref, dV_ref, Me_ref, out_ref, fes_ref = rest
     b = pl.program_id(0)
     dt = dt_ref[0, 0]
 
@@ -539,15 +633,21 @@ def _hv_banded_body(
     )
     _store_fe(fes_ref, fe, S)
     _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
-                    S, RT, WR2, I_cap, win_ref.dtype)
+                    S, RT, WR2, I_cap, win_ref.dtype,
+                    comb_ref=comb_ref, P_comb=P_comb)
 
 
 def _primal_banded_body(
     wb_r, first_r, r0_r, fid_r, ranges_r,
-    win_ref, inv_ref, cl_ref, gN_ref, dV_ref, Me_ref,
-    out_ref, prep_ref, fes_ref,
-    *, Q, S, lam, mu, eta, lam_d, damped, tmask, K, RT, WR2, I_cap,
+    win_ref, inv_ref, *rest,
+    Q, S, lam, mu, eta, lam_d, damped, tmask, K, RT, WR2, I_cap, P_comb,
 ):
+    if P_comb:
+        (comb_ref, cl_ref, gN_ref, dV_ref, Me_ref,
+         out_ref, prep_ref, fes_ref) = rest
+    else:
+        comb_ref = None
+        cl_ref, gN_ref, dV_ref, Me_ref, out_ref, prep_ref, fes_ref = rest
     b = pl.program_id(0)
 
     @pl.when(first_r[b] == 1)
@@ -570,7 +670,8 @@ def _primal_banded_body(
     )
     _store_fe(fes_ref, fe, S)
     _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
-                    S, RT, WR2, I_cap, win_ref.dtype)
+                    S, RT, WR2, I_cap, win_ref.dtype,
+                    comb_ref=comb_ref, P_comb=P_comb)
 
 
 # --------------------------------------------------------------------------
