@@ -116,10 +116,15 @@ def run_scale(name, rollout=20, tol=2.5e-2):
         # see CoarsePrecond.seg). With the cheap apply a 2x larger coarse
         # space pays for itself (measured 100k tight-tol: 107.7 ms/step at
         # CG 30 vs 115.9 at CG 35 with max_agg=512).
+        # bf16 apply tables at scale: the coarse correction is
+        # preconditioner-quality, and bf16 halves the HBM traffic of the
+        # frozen tables AND skips the 3-pass f32 MXU emulation (same CG
+        # counts — see CoarsePrecond.mm_dtype).
         big = nodes.shape[0] > 50_000
         coarse = build_coarse_precond(system, state.x, float(params.dt),
                                       float(params.rho), ranges=big,
-                                      max_agg=1024 if big else 512)
+                                      max_agg=1024 if big else 512,
+                                      mm_dtype="bfloat16" if big else None)
     except Exception as e:  # pragma: no cover
         print(f"[{name}] coarse precond unavailable ({type(e).__name__})",
               file=sys.stderr)

@@ -65,12 +65,18 @@ p = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype)
 blocks = precond_blocks(v, x, dt, rho, system)
 inv_b = inv3x3(blocks, eps=1e-30)
 ckw = {}
-if os.environ.get("TLFEA_COARSE_MODE"):
-    ckw["mode"] = os.environ["TLFEA_COARSE_MODE"]
+if os.environ.get("TLFEA_COARSE_MODE") == "range":
+    ckw["ranges"] = True
 if os.environ.get("TLFEA_MAX_AGG"):
     ckw["max_agg"] = int(os.environ["TLFEA_MAX_AGG"])
+if os.environ.get("TLFEA_COARSE_MM"):
+    ckw["mm_dtype"] = os.environ["TLFEA_COARSE_MM"]  # e.g. bfloat16
+if os.environ.get("TLFEA_COARSE_RANK"):
+    ckw["rank"] = int(os.environ["TLFEA_COARSE_RANK"])
 coarse = build_coarse_precond(system, x, float(dt), float(rho), **ckw)
-print(f"coarse: n_agg={coarse.n_agg} k={coarse.Ainv.shape[0]}", flush=True)
+_solve_tbl = next(t for t in (coarse.Ainv, coarse.Li, coarse.W) if t is not None)
+print(f"coarse: n_agg={coarse.n_agg} solve_tbl={_solve_tbl.shape} "
+      f"seg={coarse.seg} mm={coarse.mm_dtype}", flush=True)
 
 
 def timeit(name, fn, *args, iters=30, inner=1):
@@ -88,6 +94,13 @@ def timeit(name, fn, *args, iters=30, inner=1):
 
 def bj(r):
     return jnp.einsum("nij,nj->ni", inv_b, r)
+
+
+# Preconditioner (re)build cost — amortized over `precond_refresh` steps in
+# production rollouts.
+timeit("precond_blocks + inv3x3 (refresh cost)",
+       lambda vv: inv3x3(precond_blocks(vv, x, dt, rho, system), eps=1e-30),
+       v, iters=5)
 
 
 def full_pre(r, co):

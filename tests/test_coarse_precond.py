@@ -145,6 +145,97 @@ def test_range_mode_matches_grid_mode():
     )
 
 
+def test_mm_dtype_bf16_apply_parity_and_step():
+    """mm_dtype="bfloat16" stores the apply tables in bf16 and runs the
+    apply matmuls in it. The correction is preconditioner-quality: the
+    apply must track the full-precision one to bf16 accuracy (one-hot
+    tables are exact in bf16; Ainv rounds entrywise), the output dtype must
+    match the residual's, and a Newton step preconditioned with it must
+    reach the same converged solution with a comparable CG count."""
+    from tlfea.solvers.coarse import build_coarse_precond
+
+    nodes, system = setup()
+    cp = build_coarse_precond(system, nodes, 5e-3, 1e9)
+    cp_bf = build_coarse_precond(system, nodes, 5e-3, 1e9, mm_dtype="bfloat16")
+    assert cp_bf.Ainv is None and cp_bf.Li.dtype == jnp.bfloat16
+    assert cp_bf.Agg.dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal((len(nodes), 3)))
+    z, z_bf = cp.apply(r), cp_bf.apply(r)
+    assert z_bf.dtype == r.dtype
+    scale = float(jnp.abs(z).max()) + 1e-30
+    assert float(jnp.abs(z_bf - z).max()) < 3e-2 * scale
+
+    # Range-mode (factored restrict) under bf16: same parity bound.
+    cp_rbf = build_coarse_precond(
+        system, nodes, 5e-3, 1e9, ranges=True, mm_dtype="bfloat16"
+    )
+    assert cp_rbf.Gc.dtype == jnp.bfloat16
+    z_rbf = cp_rbf.apply(r)
+    zr = build_coarse_precond(system, nodes, 5e-3, 1e9, ranges=True).apply(r)
+    scale_r = float(jnp.abs(zr).max()) + 1e-30
+    assert float(jnp.abs(z_rbf - zr).max()) < 3e-2 * scale_r
+
+    f_ext = gravity_force(system)
+    params = newton.NewtonParams(
+        dt=5e-3, rho=1e9, inner_atol=1e-7, inner_rtol=1e-8,
+        max_outer=2, max_inner=8, cg_rtol=1e-6, cg_max_iter=400,
+        ew_eta_max=0.0,
+    )
+    s0 = StepState.rest(system, nodes)
+    s1, d1 = newton.make_step(system, params, coarse=cp)(s0, f_ext)
+    s2, d2 = newton.make_step(system, params, coarse=cp_bf)(s0, f_ext)
+    scale = float(jnp.abs(s1.x - jnp.asarray(nodes)).max()) + 1e-30
+    assert float(jnp.abs(s2.x - s1.x).max()) / scale < 1e-3
+    assert int(d2["cg_iters"]) <= int(d1["cg_iters"]) * 1.3 + 2, (
+        int(d2["cg_iters"]), int(d1["cg_iters"]),
+    )
+
+
+def test_rank_truncated_coarse():
+    """rank=r keeps the r smallest-eigenvalue coarse modes (whitened W, SPSD
+    by construction — see CoarsePrecond.W). It must (a) stay a symmetric
+    positive apply, (b) converge to the same Newton step, (c) retain most
+    of the full coarse correction's CG cut on the stiff slender beam."""
+    from tlfea.solvers.coarse import build_coarse_precond
+
+    nodes, system = setup()
+    cp_full = build_coarse_precond(system, nodes, 5e-3, 1e9)
+    K = cp_full.Ainv.shape[0]
+    r = max(6, K // 2)
+    cp_rank = build_coarse_precond(system, nodes, 5e-3, 1e9, rank=r)
+    assert cp_rank.Ainv is None and cp_rank.W.shape == (K, r)
+
+    rng = np.random.default_rng(7)
+    rr = jnp.asarray(rng.standard_normal((len(nodes), 3)))
+    ss = jnp.asarray(rng.standard_normal((len(nodes), 3)))
+    # Symmetric: <s, M r> == <r, M s>; positive: <r, M r> >= 0.
+    np.testing.assert_allclose(
+        float(jnp.vdot(ss, cp_rank.apply(rr))),
+        float(jnp.vdot(rr, cp_rank.apply(ss))), rtol=1e-9,
+    )
+    assert float(jnp.vdot(rr, cp_rank.apply(rr))) >= 0.0
+
+    f_ext = gravity_force(system)
+    params = newton.NewtonParams(
+        dt=5e-3, rho=1e9, inner_atol=1e-7, inner_rtol=1e-8,
+        max_outer=2, max_inner=8, cg_rtol=1e-6, cg_max_iter=400,
+        ew_eta_max=0.0,
+    )
+    s0 = StepState.rest(system, nodes)
+    s_bj, d_bj = newton.make_step(system, params)(s0, f_ext)
+    s_f, d_f = newton.make_step(system, params, coarse=cp_full)(s0, f_ext)
+    s_r, d_r = newton.make_step(system, params, coarse=cp_rank)(s0, f_ext)
+    scale = float(jnp.abs(s_f.x - jnp.asarray(nodes)).max()) + 1e-30
+    assert float(jnp.abs(s_r.x - s_f.x).max()) / scale < 1e-3
+    # Half the modes must keep a real cut vs block-Jacobi (the kept modes
+    # are exactly the low-frequency ones that cause the bj stall).
+    assert int(d_r["cg_iters"]) < 0.7 * int(d_bj["cg_iters"]), (
+        int(d_r["cg_iters"]), int(d_f["cg_iters"]), int(d_bj["cg_iters"]),
+    )
+
+
 def test_coarse_operator_spd():
     nodes, system = setup()
     coarse = build_aggregates(nodes, target_cluster=24)

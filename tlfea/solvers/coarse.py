@@ -184,6 +184,37 @@ class CoarsePrecond:
     Gmap: jnp.ndarray = None  # (na, n_chunks*B) f32 window row -> aggregate
     smask: jnp.ndarray = None  # (n_chunks, m, C, seg) f32 slot one-hot
     chunk: int = struct.field(pytree_node=False, default=0)  # C, seg > 0
+    # Matmul compute dtype for the apply ("bfloat16" | None). The coarse
+    # correction is preconditioner-quality: bf16 tables halve the HBM
+    # traffic of the apply (the coarse solve table alone is 150 MB f32 at
+    # max_agg=1024) AND escape the 3-pass f32 MXU emulation forced by
+    # jax_default_matmul_precision="float32" (one-hot tables are EXACT in
+    # bf16). CRITICAL: the coarse solve must stay SPD under rounding —
+    # entrywise bf16 rounding of the explicit inverse makes it INDEFINITE
+    # for stiff problems (smallest eigenvalue ~1e-6 of largest; measured:
+    # CG's rz>0 breakdown guard fires at iter 3 and Newton stalls on the
+    # E=2e9 slender beam). So bf16 mode stores the inverse CHOLESKY factor
+    # `Li` = bf16(L^-1) and applies M_c^-1 = Li^T (Li rhs): SPSD by
+    # construction for ANY rounding. Two (k,k) matvecs in bf16 stream the
+    # same bytes as one in f32; the one-hot table savings are pure win.
+    mm_dtype: str = struct.field(pytree_node=False, default=None)
+    Li: jnp.ndarray = None  # (k, k) inverse Cholesky factor, mm_dtype only
+    # Spectral truncation (rank=r): keep only the r SMALLEST-eigenvalue
+    # modes of A_c — exactly the low-frequency directions the coarse
+    # correction exists for (the large-eigenvalue coarse modes overlap what
+    # block-Jacobi already damps; rank-r A_c^-1 approximation = optimal
+    # deflation subspace per stored vector). Stored whitened,
+    # W = V_r diag(lambda_r^-1/2), so the apply W (W^T rhs) is SPSD under
+    # ANY rounding and streams 2 k r bytes instead of k^2 (150 MB f32 ->
+    # 12.5 MB at k=6120, r=512): the coarse solve was the single largest
+    # per-CG-iteration cost at 100k (1.26 ms in-loop vs 0.89 ms Hv).
+    W: jnp.ndarray = None  # (k, r) whitened truncated eigenbasis
+
+    def _mm(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Cast a matmul operand to the apply compute dtype. Tables built
+        with mm_dtype are already stored in it (no-op cast, no HBM hit);
+        the per-iteration vectors round here."""
+        return a if self.mm_dtype is None else a.astype(self.mm_dtype)
 
     def restrict(self, r: jnp.ndarray) -> jnp.ndarray:
         if self.k_modes == 6:
@@ -195,6 +226,7 @@ class CoarsePrecond:
             # Affine: channel 3 + 3a + b restricts sum_i u0[i, a] r[i, b].
             outer = (self.u0[:, :, None] * r[:, None, :]).reshape(-1, 9)
             r = jnp.concatenate([r, outer], axis=1)  # (n, 12)
+        r = self._mm(r)
         if self.seg:
             nc, B, mC = self.Gc.shape
             k = r.shape[1]
@@ -202,27 +234,28 @@ class CoarsePrecond:
             rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(
                 nc, self.chunk, self.seg, k
             )
-            fine = jnp.einsum("ncsk,nmcs->nmck", rp, self.smask)
+            fine = jnp.einsum("ncsk,nmcs->nmck", rp, self._mm(self.smask))
             rc_loc = jnp.einsum(
-                "cbq,cqk->cbk", self.Gc, fine.reshape(nc, mC, k)
+                "cbq,cqk->cbk", self._mm(self.Gc), fine.reshape(nc, mC, k)
             )
-            return (self.Gmap @ rc_loc.reshape(-1, k)).reshape(-1)
-        return (self.Agg @ r).reshape(-1)
+            return (self._mm(self.Gmap) @ rc_loc.reshape(-1, k)).reshape(-1)
+        return (self._mm(self.Agg) @ r).reshape(-1)
 
     def prolong(self, w: jnp.ndarray) -> jnp.ndarray:
         k = self.k_modes
-        w = w.reshape(self.n_agg, k)
+        w = self._mm(w).reshape(self.n_agg, k)
         if self.seg:
             nc, B, mC = self.Gc.shape
             n = self.u0.shape[0]
-            w_loc = (self.Gmap.T @ w).reshape(nc, B, k)
-            fine = jnp.einsum("cbq,cbk->cqk", self.Gc, w_loc).reshape(
+            w_loc = (self._mm(self.Gmap).T @ w).reshape(nc, B, k)
+            fine = jnp.einsum("cbq,cbk->cqk", self._mm(self.Gc), w_loc).reshape(
                 nc, -1, self.chunk, k
             )  # (nc, m, C, k)
-            z6 = jnp.einsum("nmck,nmcs->ncsk", fine, self.smask)
+            z6 = jnp.einsum("nmck,nmcs->ncsk", fine, self._mm(self.smask))
             z6 = z6.reshape(-1, k)[:n]
         else:
-            z6 = self.Agg.T @ w  # (n, k) — one matmul for both mode families
+            z6 = self._mm(self.Agg).T @ w  # (n, k) — one matmul, both families
+        z6 = z6.astype(self.u0.dtype)
         if self.k_modes == 3:
             return z6
         if self.k_modes == 6:
@@ -236,7 +269,17 @@ class CoarsePrecond:
         # MXU. The inverse is fine numerically here — A_c is regularized SPD
         # and this is only a preconditioner.
         rhs = self.restrict(r)
-        return self.prolong(self.Ainv @ rhs)
+        if self.W is not None:
+            # Truncated spectral solve (see W): SPSD for any rounding.
+            W = self._mm(self.W)
+            w = W @ (W.T @ rhs)
+        elif self.Li is not None:
+            # Factored SPSD solve (see mm_dtype): w = Li^T (Li rhs).
+            Li = self._mm(self.Li)
+            w = Li.T @ (Li @ rhs)
+        else:
+            w = self._mm(self.Ainv) @ rhs
+        return self.prolong(w).astype(r.dtype)
 
 
 def _phi(u0_e, k_modes: int):
@@ -279,6 +322,8 @@ def build_coarse_precond(
     max_agg: int = 512,
     chunk: int = 16384,
     ranges: bool = False,
+    mm_dtype: str = None,
+    rank: int = None,
 ) -> CoarsePrecond:
     """Assemble + factor the frozen coarse correction at configuration x0.
 
@@ -294,6 +339,11 @@ def build_coarse_precond(
     HBM per CG iteration at 145k nodes) disappears. A bandwidth-reducing
     node order (RCM) keeps m small (the banded kernels already enforce
     one); any order stays correct, just with larger m.
+
+    mm_dtype="bfloat16" stores the apply tables (Agg / Gc / Gmap / smask /
+    Ainv) in bf16 and runs the apply matmuls in it — see
+    CoarsePrecond.mm_dtype. Assembly and factorization stay in the build
+    dtype; only the frozen products round.
     """
     if modes is None:
         modes = "rigid" if rotations else "trans"
@@ -443,20 +493,46 @@ def build_coarse_precond(
     Ad = jnp.transpose(Ac, (0, 2, 1, 3)).reshape(K, K)
     diag_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(Ad))), 1e-30)
     Ad = 0.5 * (Ad + Ad.T) + (1e-5 * diag_scale) * jnp.eye(K, dtype=Ad.dtype)
-    chol = jax.scipy.linalg.cho_factor(Ad, lower=True)
-    Ainv = jax.scipy.linalg.cho_solve(chol, jnp.eye(K, dtype=Ad.dtype))
+    Ainv = Li = W = None
+    if rank is not None and rank < K:
+        # Truncated spectral solve (see CoarsePrecond.W). Host f64 eigh:
+        # one-time build cost (~seconds at K=6k), frozen thereafter.
+        lam_c, Vc = np.linalg.eigh(np.asarray(Ad, dtype=np.float64))
+        Wnp = Vc[:, :rank] / np.sqrt(lam_c[:rank])
+        W = jnp.asarray(Wnp.astype(mm_dtype or dtype))
+    elif mm_dtype is None:
+        chol = jax.scipy.linalg.cho_factor(Ad, lower=True)
+        Ainv = jax.scipy.linalg.cho_solve(chol, jnp.eye(K, dtype=Ad.dtype))
+    else:
+        # Factored form: rounding the explicit inverse entrywise can make
+        # it indefinite (CG breakdown — see CoarsePrecond.mm_dtype); the
+        # inverse Cholesky factor keeps M_c^-1 = Li^T Li SPSD under any
+        # rounding.
+        chol = jax.scipy.linalg.cho_factor(Ad, lower=True)
+        Li = jax.scipy.linalg.solve_triangular(
+            chol[0], jnp.eye(K, dtype=Ad.dtype), lower=True
+        ).astype(mm_dtype)
+
+    def _store(a):
+        if a is None:
+            return None
+        a = jnp.asarray(a)
+        return a if mm_dtype is None else a.astype(mm_dtype)
 
     return CoarsePrecond(
-        Agg=None if Aggd is None else jnp.asarray(Aggd),
+        Agg=_store(Aggd),
         u0=u0_d,
         Ainv=Ainv,
         k_modes=k_modes,
         n_agg=na,
         seg=seg,
-        Gc=None if Gc_np is None else jnp.asarray(Gc_np),
-        Gmap=None if Gmap_np is None else jnp.asarray(Gmap_np),
-        smask=None if smask_np is None else jnp.asarray(smask_np),
+        Gc=_store(Gc_np),
+        Gmap=_store(Gmap_np),
+        smask=_store(smask_np),
         chunk=C,
+        mm_dtype=mm_dtype,
+        Li=Li,
+        W=W,
     )
 
 
