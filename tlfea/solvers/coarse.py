@@ -200,14 +200,14 @@ class CoarsePrecond:
     mm_dtype: str = struct.field(pytree_node=False, default=None)
     Li: jnp.ndarray = None  # (k, k) inverse Cholesky factor, mm_dtype only
     # Spectral truncation (rank=r): keep only the r SMALLEST-eigenvalue
-    # modes of A_c — exactly the low-frequency directions the coarse
-    # correction exists for (the large-eigenvalue coarse modes overlap what
-    # block-Jacobi already damps; rank-r A_c^-1 approximation = optimal
-    # deflation subspace per stored vector). Stored whitened,
-    # W = V_r diag(lambda_r^-1/2), so the apply W (W^T rhs) is SPSD under
-    # ANY rounding and streams 2 k r bytes instead of k^2 (150 MB f32 ->
-    # 12.5 MB at k=6120, r=512): the coarse solve was the single largest
-    # per-CG-iteration cost at 100k (1.26 ms in-loop vs 0.89 ms Hv).
+    # modes of A_c, stored whitened (W = V_r diag(lambda_r^-1/2)) so the
+    # apply W (W^T rhs) is SPSD under ANY rounding and streams 2 k r bytes
+    # instead of k^2. MEASURED LOSS on the 100k bench problem (CG 7 -> 28
+    # at both r=512 and r=1024 of k=6120; ms/step 23.4 -> 42.2): the
+    # aggregate space is already a 140x reduction, so ALL its modes carry
+    # low-frequency content — truncation amputates the correction rather
+    # than trimming redundancy. Kept as an option for problems with a
+    # genuinely clustered coarse spectrum; default off.
     W: jnp.ndarray = None  # (k, r) whitened truncated eigenbasis
 
     def _mm(self, a: jnp.ndarray) -> jnp.ndarray:
