@@ -73,12 +73,23 @@ class BandedHandle:
         self.__dict__.update(kw)
 
 
-def _tp_tiles(a, E, E_pad, dtype):
-    """(E, rows...) -> (prod(rows), E_pad//LANE, LANE) zero-padded tiles."""
-    flat = np.asarray(a, dtype=dtype).reshape(E, -1).T
-    out = np.zeros((flat.shape[0], E_pad), dtype=dtype)
-    out[:, :E] = flat
-    return out.reshape(flat.shape[0], E_pad // LANE, LANE)
+def _blk_tiles(a, E, E_pad, dtype):
+    """(E, rows...) -> (n_blocks, R*SUB, LANE) per-block CONTIGUOUS tiles:
+    block b, row f*SUB + s, lane l = feature f of element b*EBLK + s*LANE + l.
+
+    One contiguous DMA segment per grid step. The previous layout shared the
+    flat kernels' (R, E_pad//LANE, LANE) tables and block-sliced the MIDDLE
+    axis, which DMAs R strided 4 KB segments per block — measured as the
+    dominant per-block cost once the shuffle loops were unrolled (the Hv
+    kernel's touch-only DMA floor was ~80% of its total time at 100k)."""
+    flat = np.asarray(a, dtype=dtype).reshape(E, -1)
+    R = flat.shape[1]
+    out = np.zeros((E_pad, R), dtype=dtype)
+    out[:E] = flat
+    nb = E_pad // EBLK
+    return np.ascontiguousarray(
+        out.reshape(nb, SUB, LANE, R).transpose(0, 3, 1, 2)
+    ).reshape(nb, R * SUB, LANE)
 
 
 def _build_combine(cl, E, n_blocks, S):
@@ -288,7 +299,7 @@ def sort_elements(elems):
 
 
 def build_banded(elems, material, dtype=np.float32, interpret=False,
-                 w_cap=65536, force_w=None, tpd=None):
+                 w_cap=65536, force_w=None, tpd=None, hv_dtype=None):
     """Host-side banding analysis + kernel construction.
 
     Sorts elements by min node, derives the window width W (multiple of
@@ -298,9 +309,14 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     A bandwidth-reducing node order (`tlfea.utils.reorder.rcm_order`)
     shrinks W and the one-hot depth K but is not required.
 
-    tpd: the canonical `pallas_fem.prepare_tp` dict to SHARE static element
-    tables with (requires elements already in min-node-sorted order — see
-    `sort_elements`); omitting it builds independent permuted copies.
+    tpd: unused (kept for API compat) — the banded kernels now hold their
+    own per-block contiguous table copies (see _blk_tiles); sharing the
+    flat layout cost R strided DMA segments per block.
+
+    hv_dtype: optional reduced storage dtype ("bfloat16") for the Hv
+    kernel's static tables (gN/Me) and the prep cache. Primal tables stay
+    `dtype` (converged physics exact); only the CG operator rounds — see
+    the comment at the `hv_is_reduced` block.
     """
     if not PALLAS_OK:  # pragma: no cover
         raise NotBandedError("pallas unavailable")
@@ -309,11 +325,6 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     E, S = conn.shape
     n = int(elems.n_coef)
     order = np.argsort(conn.min(axis=1), kind="stable").astype(np.int32)
-    if tpd is not None and not (order == np.arange(E)).all():
-        raise ValueError(
-            "build_banded(tpd=...) requires min-node-sorted elements "
-            "(pallas_fem.with_pallas handles this via sort_elements)"
-        )
     conn_s = conn[order].astype(np.int64)
     n_blocks = -(-E // EBLK)
     E_pad = n_blocks * EBLK
@@ -367,21 +378,22 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     visited = np.zeros(n_wins, bool)
     visited[np.unique(wb)] = True
 
-    # Static element tables: SHARED with the canonical tpd when elements
-    # are pre-sorted (one device copy; closure-size constrained), otherwise
-    # independent banded-order copies.
-    if tpd is not None:
-        gN_T, dV_T, Me_T = tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]
-    else:
-        gN_T = jnp.asarray(_tp_tiles(np.asarray(elems.grad_N)[order], E, E_pad, dtype))
-        dV_T = jnp.asarray(_tp_tiles(np.asarray(elems.dV)[order], E, E_pad, dtype))
-        Me_T = jnp.asarray(_tp_tiles(np.asarray(elems.mass_elem)[order], E, E_pad, dtype))
+    # Static element tables: per-block CONTIGUOUS layout (see _blk_tiles) —
+    # independent of the flat kernels' tables (they enter jits as arguments,
+    # so the old shared-copy closure-size constraint no longer applies).
+    gN_T = jnp.asarray(_blk_tiles(np.asarray(elems.grad_N)[order], E, E_pad, dtype))
+    dV_T = jnp.asarray(_blk_tiles(np.asarray(elems.dV)[order], E, E_pad, dtype))
+    Me_T = jnp.asarray(_blk_tiles(np.asarray(elems.mass_elem)[order], E, E_pad, dtype))
     cl_T = jnp.asarray(
         np.ascontiguousarray(
-            cl.reshape(n_blocks, SUB, LANE, S).transpose(3, 0, 1, 2)
-        ).reshape(S, n_blocks * SUB, LANE).astype(np.int32)
+            cl.reshape(n_blocks, SUB, LANE, S).transpose(0, 3, 1, 2)
+        ).reshape(n_blocks, S * SUB, LANE).astype(np.int32)
     )
-    inv_T = jnp.asarray(inv_np)
+    # Scatter shuffle indices are source LANES (-1..127): int8 exact, 1/4
+    # the DMA bytes of int32 (688 KB/block at 100k — the largest table).
+    # Sublane alignment: I_cap*SUB % 32 == 0 (I_cap is padded to SC_U=4).
+    assert inv_np.max() < ROW
+    inv_T = jnp.asarray(inv_np.astype(np.int8))
     # Scalar-prefetch tables ride in SMEM, where every trailing row pads to
     # 512 B and middle dims to multiples of 8: shaped (99,12,2) `ranges`
     # alone padded 9.5 KB -> 792 KB at 100k elems and blew the 1 MB SMEM
@@ -400,22 +412,22 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     lam_d = float(material.lam_damp)
     damped = (eta != 0.0) or (lam_d != 0.0)
     PR = Q * (27 if damped else 18)
+    # Even row-group count so PR_pad*SUB is 16-aligned (bf16 tiling when
+    # hv_dtype="bfloat16"; free in f32).
+    PR_pad = PR + (PR % 2)
 
     phys = dict(Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
                 damped=damped, tmask=elems.trans_mask)
     geom = dict(K=K, RT=RT, WR2=WR2, I_cap=I_cap, P_comb=P_comb)
 
-    def _ind0(b, *s):  # element-space blocks
-        return (0, b, 0)
-
-    def _indb(b, *s):  # per-block data (items)
+    def _indb(b, *s):  # per-block data (items / element tables)
         return (b, 0, 0)
 
     def _indw(b, wb_r, *s):  # window-space blocks
         return (wb_r[b], 0, 0)
 
-    def _especs(rows_list):
-        return [pl.BlockSpec((r, SUB, LANE), _ind0) for r in rows_list]
+    def _bspec(rows, dt_=None):
+        return pl.BlockSpec((1, rows * SUB, LANE), _indb)
 
     hv_body = partial(_hv_banded_body, **phys, **geom, PR=PR)
     primal_body = partial(_primal_banded_body, **phys, **geom)
@@ -431,8 +443,21 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     data = dict(inv=inv_T, cl=cl_T, gN=gN_T, dV=dV_T, Me=Me_T)
     comb_specs = []
     if P_comb:
-        data["comb"] = jnp.asarray(comb_np)
+        # Lane ids fit int16 (int8 needs 32-row alignment; P_comb*S*SUB is
+        # only guaranteed a multiple of 16).
+        data["comb"] = jnp.asarray(comb_np.astype(np.int16))
         comb_specs = [pl.BlockSpec((1, P_comb * S * SUB, ROW), _indb)]
+    # Optional reduced-precision static tables for the Hv kernel ONLY: the
+    # CG operator tolerates ~1e-3-relative table rounding (inexact-Newton:
+    # the direction is solved to cg_rtol anyway and the PRIMAL gradient
+    # stays f32-exact, so converged physics is unchanged — the perturbed
+    # Hv stays symmetric/SPD because it is the exact Hessian of a slightly
+    # perturbed element energy). Halves the gN/Me/prep DMA per Hv.
+    hv_is_reduced = hv_dtype is not None and np.dtype(hv_dtype) != np.dtype(dtype)
+    if hv_is_reduced:
+        data["gNh"] = gN_T.astype(hv_dtype)
+        data["Meh"] = Me_T.astype(hv_dtype)
+    prep_dtype = np.dtype(hv_dtype) if hv_is_reduced else np.dtype(dtype)
 
     def hv_fn(dt_arr, win3, prepT, data):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -443,12 +468,18 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
                 pl.BlockSpec((1, 3 * WR2, ROW), _indw),
                 pl.BlockSpec((1, I_cap * SUB, ROW), _indb),
                 *comb_specs,
-                *_especs([S, PR, Q * S * 3, Q, S * S]),
+                _bspec(S),            # cl
+                _bspec(PR_pad),       # prep
+                _bspec(Q * S * 3),    # gN
+                _bspec(Q),            # dV
+                _bspec(S * S),        # Me
             ],
             out_specs=pl.BlockSpec((1, 3 * WR2, ROW), _indw),
             scratch_shapes=scratch,
         )
         comb_in = (data["comb"],) if P_comb else ()
+        gN_in = data["gNh"] if hv_is_reduced else data["gN"]
+        Me_in = data["Meh"] if hv_is_reduced else data["Me"]
         return pl.pallas_call(
             hv_body,
             grid_spec=grid_spec,
@@ -456,7 +487,7 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             interpret=interpret,
         )(wb_j, first_j, r0_j, fid_j, ranges_j,
           dt_arr, win3, data["inv"], *comb_in, data["cl"], prepT,
-          data["gN"], data["dV"], data["Me"])
+          gN_in, data["dV"], Me_in)
 
     def primal_fn(win9, data):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -466,11 +497,14 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
                 pl.BlockSpec((1, 9 * WR2, ROW), _indw),
                 pl.BlockSpec((1, I_cap * SUB, ROW), _indb),
                 *comb_specs,
-                *_especs([S, Q * S * 3, Q, S * S]),
+                _bspec(S),            # cl
+                _bspec(Q * S * 3),    # gN
+                _bspec(Q),            # dV
+                _bspec(S * S),        # Me
             ],
             out_specs=[
                 pl.BlockSpec((1, 3 * WR2, ROW), _indw),
-                pl.BlockSpec((PR, SUB, LANE), _ind0),
+                _bspec(PR_pad),
             ],
             scratch_shapes=scratch,
         )
@@ -480,7 +514,8 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n_wins, 3 * WR2, ROW), win9.dtype),
-                jax.ShapeDtypeStruct((PR, n_blocks * SUB, LANE), win9.dtype),
+                jax.ShapeDtypeStruct(
+                    (n_blocks, PR_pad * SUB, LANE), prep_dtype),
             ],
             interpret=interpret,
         )(wb_j, first_j, r0_j, fid_j, ranges_j,
@@ -514,7 +549,7 @@ def _window_gather(b, win_ref, cl_ref, r0_r, S, n_chan, K, WR2, dtype):
     """
     pg = []
     for a in range(S):
-        cl = cl_ref[a]
+        cl = cl_ref[0, pl.ds(a * SUB, SUB), :]
         r = jax.lax.shift_right_logical(
             cl, jnp.asarray(ROW.bit_length() - 1, cl.dtype)
         )
@@ -555,7 +590,8 @@ def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
     # item below is rank-free (measured 2.5x fewer items at 100k elems).
     for p in range(P_comb):
         for a in range(S):
-            cb = comb_ref[0, pl.ds((p * S + a) * SUB, SUB), :]
+            # int16 table (see build_banded); shuffle indices need int32.
+            cb = comb_ref[0, pl.ds((p * S + a) * SUB, SUB), :].astype(jnp.int32)
             ok = cb >= 0
             qi = jnp.where(ok, cb, 0)
             for c in range(3):
@@ -574,7 +610,8 @@ def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
             for u in range(SC_U):
                 i = j * SC_U + u
                 fid = fid_r[b * I_cap + i]
-                idx = inv_ref[0, pl.ds(i * SUB, SUB), :]
+                # int8 table (see build_banded); shuffles need int32.
+                idx = inv_ref[0, pl.ds(i * SUB, SUB), :].astype(jnp.int32)
                 ok = idx >= 0
                 qi = jnp.where(ok, idx, 0)
                 for c in range(3):
@@ -621,12 +658,15 @@ def _hv_banded_body(
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     pg = _window_gather(b, win_ref, cl_ref, r0_r, S, 3, K, WR2, win_ref.dtype)
+    # Row-group reads from the per-block contiguous tables (_blk_tiles).
+    # Reduced-precision tables (hv_dtype) promote to the window dtype at
+    # first use — compute stays in the working dtype.
     fe = _hv_fe(
         lambda a, c: pg[a][c],
-        lambda row: prep_ref[row],
-        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
-        lambda q: dV_ref[q],
-        lambda a, bb: Me_ref[a * S + bb],
+        lambda row: prep_ref[0, pl.ds(row * SUB, SUB), :],
+        lambda q, a, j: gN_ref[0, pl.ds(((q * S + a) * 3 + j) * SUB, SUB), :],
+        lambda q: dV_ref[0, pl.ds(q * SUB, SUB), :],
+        lambda a, bb: Me_ref[0, pl.ds((a * S + bb) * SUB, SUB), :],
         dt,
         Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
         tmask=tmask,
@@ -657,13 +697,14 @@ def _primal_banded_body(
     pu = _window_gather(b, win_ref, cl_ref, r0_r, S, 9, K, WR2, win_ref.dtype)
 
     def prep_write(row, tile):
-        prep_ref[row] = tile
+        # prep cache may be stored reduced (hv_dtype) — rounds at write.
+        prep_ref[0, pl.ds(row * SUB, SUB), :] = tile.astype(prep_ref.dtype)
 
     fe = _primal_fe(
         lambda a, c: pu[a][c],
-        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
-        lambda q: dV_ref[q],
-        lambda a, bb: Me_ref[a * S + bb],
+        lambda q, a, j: gN_ref[0, pl.ds(((q * S + a) * 3 + j) * SUB, SUB), :],
+        lambda q: dV_ref[0, pl.ds(q * SUB, SUB), :],
+        lambda a, bb: Me_ref[0, pl.ds((a * S + bb) * SUB, SUB), :],
         prep_write,
         Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
         tmask=tmask,

@@ -819,7 +819,8 @@ class PallasContrib:
         return getattr(self, key if key != "E_pad" else "E_pad")
 
 
-def with_pallas(system, dtype=np.float32, interpret=False, banded=False):
+def with_pallas(system, dtype=np.float32, interpret=False, banded=False,
+                banded_hv_dtype=None):
     """Return a copy of `system` that routes its residual through the Pallas
     element kernel (SVK materials only).
 
@@ -863,7 +864,7 @@ def with_pallas(system, dtype=np.float32, interpret=False, banded=False):
         try:
             bnd = pallas_banded.build_banded(
                 system.elems, system.material, dtype=dtype,
-                interpret=interpret, tpd=tpd,
+                interpret=interpret, hv_dtype=banded_hv_dtype,
             )
         except pallas_banded.NotBandedError:
             if banded is True:
