@@ -180,9 +180,9 @@ class CoarsePrecond:
     # see newton._newton_inner's pin_terms — after every apply variant,
     # integer or float, produced identical garbage).
     seg: int = struct.field(pytree_node=False, default=0)
-    Gc: jnp.ndarray = None  # (n_chunks, B, m*C) local one-hot, seg > 0 only
+    Gc: jnp.ndarray = None  # (n_chunks, B, m, C) local one-hot, seg > 0 only
     Gmap: jnp.ndarray = None  # (na, n_chunks*B) f32 window row -> aggregate
-    smask: jnp.ndarray = None  # (n_chunks, m, C, seg) f32 slot one-hot
+    smask: jnp.ndarray = None  # (n_chunks, m, seg, C) f32 slot one-hot
     chunk: int = struct.field(pytree_node=False, default=0)  # C, seg > 0
     # Matmul compute dtype for the apply ("bfloat16" | None). The coarse
     # correction is preconditioner-quality: bf16 tables halve the HBM
@@ -228,16 +228,18 @@ class CoarsePrecond:
             r = jnp.concatenate([r, outer], axis=1)  # (n, 12)
         r = self._mm(r)
         if self.seg:
-            nc, B, mC = self.Gc.shape
+            # Lane-major layouts throughout: every materialized temp keeps
+            # C (=256) in the minor dim. The previous k-minor layouts
+            # (k=6 -> 128-lane padding) materialized 21x-padded temps
+            # (~110 MB/apply at 145k nodes) — measured as the bulk of the
+            # 0.7-1.3 ms in-loop apply vs its ~0.25 ms byte roofline.
+            nc, B, m, C = self.Gc.shape
             k = r.shape[1]
-            pad = nc * self.chunk * self.seg - r.shape[0]
-            rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(
-                nc, self.chunk, self.seg, k
-            )
-            fine = jnp.einsum("ncsk,nmcs->nmck", rp, self._mm(self.smask))
-            rc_loc = jnp.einsum(
-                "cbq,cqk->cbk", self._mm(self.Gc), fine.reshape(nc, mC, k)
-            )
+            pad = nc * C * self.seg - r.shape[0]
+            rt = jnp.pad(r, ((0, pad), (0, 0))).T.reshape(k, nc, C, self.seg)
+            rp = jnp.transpose(rt, (1, 0, 3, 2))  # (nc, k, seg, C)
+            fine = jnp.einsum("nksc,nmsc->nmkc", rp, self._mm(self.smask))
+            rc_loc = jnp.einsum("nbmc,nmkc->nbk", self._mm(self.Gc), fine)
             return (self._mm(self.Gmap) @ rc_loc.reshape(-1, k)).reshape(-1)
         return (self._mm(self.Agg) @ r).reshape(-1)
 
@@ -245,14 +247,12 @@ class CoarsePrecond:
         k = self.k_modes
         w = self._mm(w).reshape(self.n_agg, k)
         if self.seg:
-            nc, B, mC = self.Gc.shape
+            nc, B, m, C = self.Gc.shape
             n = self.u0.shape[0]
             w_loc = (self._mm(self.Gmap).T @ w).reshape(nc, B, k)
-            fine = jnp.einsum("cbq,cbk->cqk", self._mm(self.Gc), w_loc).reshape(
-                nc, -1, self.chunk, k
-            )  # (nc, m, C, k)
-            z6 = jnp.einsum("nmck,nmcs->ncsk", fine, self._mm(self.smask))
-            z6 = z6.reshape(-1, k)[:n]
+            fine = jnp.einsum("nbmc,nbk->nmkc", self._mm(self.Gc), w_loc)
+            z = jnp.einsum("nmkc,nmsc->nksc", fine, self._mm(self.smask))
+            z6 = jnp.transpose(z, (1, 0, 3, 2)).reshape(k, -1).T[:n]
         else:
             z6 = self._mm(self.Agg).T @ w  # (n, k) — one matmul, both families
         z6 = z6.astype(self.u0.dtype)
@@ -397,9 +397,10 @@ def build_coarse_precond(
         B = int(max(1, (hi - base + 1).max()))
         B = -(-B // 8) * 8
         gidx = (base[:, None] + np.arange(B)[None, :]).reshape(-1)
-        Gc_np = np.zeros((n_chunks, B, m * C), dtype=x0np.dtype)
+        # Lane-major table layouts (C minor) — see CoarsePrecond.restrict.
+        Gc_np = np.zeros((n_chunks, B, m, C), dtype=x0np.dtype)
         Gc_np[
-            cc, gg - base[cc], slot_of_pos[rr, pp] * C + (rr - cc * C)
+            cc, gg - base[cc], slot_of_pos[rr, pp], rr - cc * C
         ] = 1.0
         # Float one-hots for the apply (no integer indexing on the CG path —
         # see the CoarsePrecond.seg comment).
@@ -409,7 +410,7 @@ def build_coarse_precond(
         smask_np = (
             slot_np.reshape(n_chunks, C, 1, seg)
             == np.arange(m).reshape(1, 1, m, 1)
-        ).transpose(0, 2, 1, 3).astype(x0np.dtype)  # (nc, m, C, seg)
+        ).transpose(0, 2, 3, 1).astype(x0np.dtype)  # (nc, m, seg, C)
     else:
         seg = C = 0
         Gc_np = Gmap_np = smask_np = None
