@@ -18,6 +18,47 @@ from tlfea.solvers import adamw, nesterov, newton, vbd
 REF_DATA = "/root/reference/data"
 
 
+def accelerate(system):
+    """Route the system through the Pallas element kernels (banded fused
+    gather/scatter when the mesh's node numbering allows) on accelerator
+    backends. No-op on CPU — interpret-mode Pallas is orders slower — and
+    for non-SVK materials. Demos that retarget constraints every step
+    (prescribed motion) should skip this: Pallas systems re-trace per
+    constraints object (see newton.stepper)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return system
+    from tlfea.materials import SVK
+    from tlfea.ops import pallas_fem
+
+    if not isinstance(system.material, SVK):
+        return system
+    try:
+        return pallas_fem.with_pallas(system, banded="auto")
+    except Exception:  # pragma: no cover — unsupported mesh/element family
+        return system
+
+
+def _auto_coarse(system, dt, rho):
+    """Frozen two-level coarse preconditioner at the rest configuration
+    (production Newton config — see bench.py). None when unsupported
+    (non-SVK materials, degenerate meshes)."""
+    try:
+        from tlfea.elements.assembly import node_ref
+        from tlfea.solvers.coarse import build_coarse_precond
+
+        x0 = np.asarray(node_ref(system.elems))
+        big = x0.shape[0] > 50_000
+        return build_coarse_precond(
+            system, x0, float(dt), float(rho), ranges=big,
+            max_agg=1024 if big else 512,
+            mm_dtype="bfloat16" if big else None,
+        )
+    except Exception:
+        return None
+
+
 def make_solver(name: str, system, dt: float, rho: float | None):
     """Per-solver parameter sets modeled on the reference's unified beam-sag
     driver (`lib_bin/beam_sag/test_ancf3243.cc:329-399`).
@@ -30,14 +71,19 @@ def make_solver(name: str, system, dt: float, rho: float | None):
 
         rho = suggest_rho(system.elems, system.material, dt)
     if name == "newton":
-        # inner_rtol carries the convergence; the absolute tolerance is kept
-        # loose because float32 residuals floor at percent-of-load levels on
-        # TPU (PERF_NOTES.md). max_inner bounds the cost either way.
+        # Production profile (bench.py): ONE outer per step — the ALM duals
+        # persist in StepState and integrate ACROSS steps, so per-step
+        # re-convergence of the outer loop is wasted work (measured on the
+        # 14.5k-elem item drop: max_outer=3 with an f32-unreachable
+        # absolute outer_tol burned 3 outers x ~4 Newton x ~28 CG every
+        # step). inner_rtol carries the convergence; Eisenstat-Walker
+        # forcing (NewtonParams default) + the frozen coarse correction
+        # keep the CG budget honest.
         params = newton.NewtonParams(
-            dt=dt, rho=rho, inner_atol=1e-7, inner_rtol=1e-4, outer_tol=1e-8,
-            max_outer=3, max_inner=8, cg_rtol=1e-4, cg_max_iter=100,
+            dt=dt, rho=rho, inner_atol=1e-7, inner_rtol=1e-4, outer_tol=0.0,
+            max_outer=1, max_inner=6, cg_rtol=1e-3, cg_max_iter=50,
         )
-        return newton.stepper(params)
+        return newton.stepper(params, coarse=_auto_coarse(system, dt, rho))
     if name == "nesterov":
         params = nesterov.NesterovParams(
             dt=dt, rho=rho, alpha=1e-7, inner_tol=1e-9, outer_tol=1e-8,

@@ -25,7 +25,7 @@ from tlfea.utils import io_vtk
 from tlfea.utils.cli import Cli
 from tlfea.utils.tetmesh import read_tetgen
 
-from _common import REF_DATA, make_solver, out_dir
+from _common import REF_DATA, accelerate, make_solver, out_dir
 
 
 def main():
@@ -60,6 +60,7 @@ def main():
         system = System(
             elems=elems, material=mat, constraints=FixedCoefs.from_indices(fixed, nodes)
         )
+        system = accelerate(system)  # Pallas banded path on accelerators
         state = StepState.rest(system, nodes)
         step = make_solver(args["solver"], system, args["dt"], args["rho_alm"])
         sim = Simulation(system, state, step, base_f_ext=gravity_force(system))

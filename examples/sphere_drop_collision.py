@@ -28,7 +28,7 @@ from tlfea.utils.mesh_manager import MeshManager
 from tlfea.utils.pressure import distance_pressure_field
 from tlfea.utils.tetmesh import box_t10_mesh
 
-from _common import REF_DATA, make_solver, out_dir
+from _common import REF_DATA, accelerate, make_solver, out_dir
 
 
 def main():
@@ -90,6 +90,7 @@ def main():
     system = System(
         elems=elems, material=mat, constraints=FixedCoefs.from_indices(fixed, nodes)
     )
+    system = accelerate(system)  # Pallas banded path on accelerators
     state = StepState.rest(system, nodes)
 
     collision = HydroelasticCollision(

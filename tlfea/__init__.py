@@ -28,7 +28,19 @@ import os as _os
 if not _os.environ.get("TLFEA_NO_X64"):
     import jax as _jax
 
-    _jax.config.update("jax_enable_x64", True)
+    # x64 is for CPU validation only: TPUs have no native f64, and the
+    # emulation both runs ~40x slow and can FAULT the TPU worker inside
+    # Pallas kernels (measured: a full worker crash/restart running an
+    # example without TLFEA_NO_X64 on the axon tunnel). Probe the default
+    # backend and keep f32 on accelerators; set JAX_PLATFORMS=cpu (plus
+    # jax.config jax_platforms, see CLAUDE.md) BEFORE importing tlfea to
+    # get f64 validation semantics.
+    try:
+        _backend = _jax.default_backend()
+    except Exception:  # pragma: no cover — no backend at all
+        _backend = "cpu"
+    if _backend == "cpu":
+        _jax.config.update("jax_enable_x64", True)
 
 # TPU einsums/dot_generals default to bf16 multiply passes, which introduces
 # ~1-3% errors in deformation-gradient/stress contractions — unacceptable for

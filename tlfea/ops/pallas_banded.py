@@ -373,6 +373,28 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
         cl, E, n_blocks, S, RT, rep=rep_np
     )
 
+    # VMEM feasibility: a mesh can pass the w_cap span check yet blow the
+    # ~16 MB scoped-VMEM budget per grid step (measured: the dragon item-
+    # drop mesh in natural TetGen order builds W=26k / I_cap~1.2k and the
+    # primal kernel OOMs AT COMPILE TIME with a 32.6 MB stack). Estimate
+    # the primal step's resident blocks (x2 for pipeline double-buffering)
+    # and refuse — callers fall back to the flat Pallas path, and a
+    # bandwidth-reducing node order (utils.reorder) restores eligibility.
+    Q_ = int(np.asarray(elems.grad_N).shape[1])
+    PR_ = Q_ * 27 + 1  # damped upper bound, padded
+    blk_bytes = ROW * SUB * 4 * (
+        (9 + 3) * WR2 // SUB + PR_ + S + Q_ * S * 3 + Q_ + S * S
+    ) + I_cap * SUB * ROW + P_comb * S * SUB * ROW * 2
+    vmem_est = 2 * blk_bytes + 3 * S * SUB * ROW * 4  # + fes scratch
+    # Budget 8 MB: the estimate undercounts Mosaic's stack (gather-loop
+    # temporaries scale with K; measured 3x on the dragon mesh).
+    if vmem_est > 8 * 1024 * 1024 or K > 64:
+        raise NotBandedError(
+            f"per-block VMEM estimate {vmem_est / 1e6:.1f} MB (W={W}, "
+            f"K={K}, I_cap={I_cap}) exceeds the ~16 MB scoped budget — "
+            "node ordering not banded enough (apply utils.reorder)"
+        )
+
     first = np.ones(n_blocks, np.int32)
     first[1:] = (wb[1:] != wb[:-1]).astype(np.int32)
     visited = np.zeros(n_wins, bool)
