@@ -104,7 +104,11 @@ def main():
             mid, distance_pressure_field(mm.mesh_nodes(mid), local_conn, args["modulus"])
         )
 
-    nodes, conn = mm.nodes, mm.elements
+    # Finalize with band-minimizing node relabeling so the banded Pallas
+    # kernels engage (the dragon's natural TetGen order has bandwidth ~26k
+    # and falls back to the flat path — VERDICT r2 #1).
+    scene = mm.scene(reorder=True)
+    nodes, conn = scene.nodes, scene.conn
     print(f"scene: {conn.shape[0]} elems, {nodes.shape[0]} nodes")
 
     elems = feat10.build(nodes, conn, rho=args["rho0"])
@@ -117,11 +121,14 @@ def main():
         elems=elems, material=mat, constraints=FixedCoefs.from_indices(fixed, nodes)
     )
     system = accelerate(system)  # Pallas banded path on accelerators
+    if system.pallas is not None:
+        banded = getattr(system.pallas, "banded", None) is not None
+        print(f"pallas path engaged (banded={banded})")
     state = StepState.rest(system, nodes)
 
     if args["collision"] == "hydro":
         collision = HydroelasticCollision(
-            conn, mm.elem_mesh_ids(), mm.scalar_field(),
+            conn, scene.elem_mesh_ids, scene.pressures,
             window=args["window"], max_pairs=args["max_pairs"],
         )
         col_params = HydroelasticParams(friction=args["friction"])
@@ -132,7 +139,7 @@ def main():
         from tlfea.collision.dem import DemParams, NodeSphereDem
 
         collision = NodeSphereDem(
-            nodes, [mm.surface_triangles(mid) for mid in range(len(mm.instances))]
+            nodes, [scene.surface_triangles(mid) for mid in range(len(mm.instances))]
         )
         col_params = DemParams(kn=args["dem_kn"], cn=args["dem_cn"], mu=args["friction"])
     else:

@@ -78,7 +78,9 @@ def main():
             conn_local = mm.elements[inst.elem_offset : inst.elem_offset + inst.n_elems] - inst.node_offset
             mm.set_scalar_field(mid, distance_pressure_field(inst_nodes, conn_local, args["modulus"]))
 
-    nodes, conn = mm.nodes, mm.elements
+    # Band-minimizing node relabeling so the banded Pallas kernels engage.
+    scene = mm.scene(reorder=True)
+    nodes, conn = scene.nodes, scene.conn
     print(f"scene: {conn.shape[0]} elems, {nodes.shape[0]} nodes")
 
     elems = feat10.build(nodes, conn, rho=args["rho0"])
@@ -94,7 +96,8 @@ def main():
     state = StepState.rest(system, nodes)
 
     collision = HydroelasticCollision(
-        conn, mm.elem_mesh_ids(), mm.scalar_field(), window=args["window"], max_pairs=args["max_pairs"]
+        conn, scene.elem_mesh_ids, scene.pressures,
+        window=args["window"], max_pairs=args["max_pairs"],
     )
     col_params = HydroelasticParams(
         damping=args["contact_damping"], friction=args["friction"]

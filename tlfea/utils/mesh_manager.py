@@ -16,7 +16,7 @@ import numpy as np
 
 from tlfea.utils.tetmesh import read_tetgen, surface_triangles_t10
 
-__all__ = ["MeshInstance", "MeshManager"]
+__all__ = ["MeshInstance", "MeshManager", "Scene"]
 
 
 @dataclass
@@ -29,6 +29,53 @@ class MeshInstance:
     n_nodes: int
     n_elems: int
     scalar_field: np.ndarray | None = None
+
+
+@dataclass(frozen=True)
+class Scene:
+    """Finalized scene arrays with a band-minimizing node relabeling applied.
+
+    The banded Pallas kernels (`tlfea.ops.pallas_banded`) require a small
+    node bandwidth; multi-mesh scenes assembled in load order (and TetGen's
+    natural numbering — the dragon item-drop mesh has bandwidth 26k) blow
+    the VMEM window. `MeshManager.scene()` snapshots the assembled scene
+    with `utils.reorder.best_order` applied consistently to every node-
+    indexed array. Element ORDER is unchanged (only node labels), so
+    per-instance element ranges and `elem_mesh_ids` stay valid.
+
+    Everything downstream (elements, collision tables, fixed sets derived
+    from `nodes`, VTU export of `conn`) is self-consistent in the new
+    labeling; `to_old()` maps per-node rows back to assembly order when an
+    export must match the original file numbering.
+
+    Reference parity: the reference needs no analog (CUDA atomics are
+    order-independent; `test_item_drop.cc:575-599` runs natural order) —
+    this is TPU-architecture plumbing.
+    """
+
+    nodes: np.ndarray            # (n, 3) in scene (new) order
+    conn: np.ndarray             # (E, S) new labels, element order unchanged
+    pressures: np.ndarray        # (n,) per-node scalar field, new order
+    elem_mesh_ids: np.ndarray    # (E,)
+    node_mesh_ids: np.ndarray    # (n,) new order
+    perm: np.ndarray             # perm[new] = old
+    inv: np.ndarray              # inv[old] = new
+    elem_ranges: tuple           # per-instance (start, stop) element ranges
+
+    def surface_triangles(self, mesh_id: int | None = None) -> np.ndarray:
+        """Boundary triangles (scene node ids) for one mesh or the scene."""
+        if mesh_id is None:
+            return surface_triangles_t10(self.conn)
+        a, b = self.elem_ranges[mesh_id]
+        return surface_triangles_t10(self.conn[a:b])
+
+    def mesh_node_ids(self, mesh_id: int) -> np.ndarray:
+        """Scene node ids belonging to one instance."""
+        return np.nonzero(self.node_mesh_ids == mesh_id)[0]
+
+    def to_old(self, per_node: np.ndarray) -> np.ndarray:
+        """Reindex per-node rows back to the original assembly order."""
+        return np.asarray(per_node)[self.inv]
 
 
 @dataclass
@@ -142,3 +189,33 @@ class MeshManager:
         inst = self.instances[mesh_id]
         conn = self.elements[inst.elem_offset : inst.elem_offset + inst.n_elems]
         return surface_triangles_t10(conn)
+
+    # -- finalization ------------------------------------------------------
+    def scene(self, reorder: bool = True) -> Scene:
+        """Snapshot the assembled scene, optionally (default) relabeling
+        nodes with the band-minimizing order so the banded Pallas kernels
+        engage on arbitrary multi-mesh scenes (see `Scene`). Call AFTER all
+        loads/transforms/pressure fields; derive fixed sets and loads from
+        the returned arrays."""
+        from tlfea.utils.reorder import apply_node_order, best_order
+
+        n = self.nodes.shape[0]
+        if reorder and n:
+            perm = np.asarray(best_order(self.nodes, self.elements))
+        else:
+            perm = np.arange(n, dtype=np.int64)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int64)
+        nodes, conn = apply_node_order(self.nodes, self.elements, perm)
+        return Scene(
+            nodes=nodes,
+            conn=conn,
+            pressures=self.scalar_field()[perm],
+            elem_mesh_ids=self.elem_mesh_ids(),
+            node_mesh_ids=self.node_mesh_ids()[perm],
+            perm=perm,
+            inv=inv,
+            elem_ranges=tuple(
+                (i.elem_offset, i.elem_offset + i.n_elems) for i in self.instances
+            ),
+        )
