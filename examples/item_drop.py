@@ -130,7 +130,9 @@ def main():
         collision = HydroelasticCollision(
             conn, scene.elem_mesh_ids, scene.pressures,
             window=args["window"], max_pairs=args["max_pairs"],
+            rest_nodes=nodes,  # enables the two-level block broadphase
         )
+        print(f"broadphase mode: {collision.mode}")
         col_params = HydroelasticParams(friction=args["friction"])
     elif args["collision"] == "deme":
         # Native on-device DEM (DEM-Engine-style sphere contacts): every

@@ -115,3 +115,46 @@ def test_friction_opposes_sliding(overlapping):
     # Friction drags A along +z and resists B's +z motion.
     assert f[nodes_b, 2].sum() < 0
     assert f[nodes_a, 2].sum() > 0
+
+
+def test_block_broadphase_matches_dense(overlapping):
+    """Two-level block broadphase (VERDICT r2 #2) finds the same candidate
+    set and produces the same patch forces as the exact dense cross test."""
+    from tlfea.collision.broadphase import (
+        find_pairs_block, find_pairs_dense, setup_block_cross,
+        setup_broadphase, setup_dense_cross,
+    )
+
+    nodes, conn, mesh_ids, col = overlapping
+    x = jnp.asarray(nodes)
+    bp = setup_broadphase(conn, mesh_ids, window=64)
+    cross = setup_dense_cross(conn, mesh_ids)
+    blk = setup_block_cross(conn, mesh_ids, nodes, block=16, block_pair_cap=64)
+    pd, vd, _ = find_pairs_dense(bp, x, cross)
+    pb, vb, ob = find_pairs_block(bp, blk, x)
+    assert not bool(ob)
+    sd = {tuple(r) for r in np.asarray(pd)[np.asarray(vd)].tolist()}
+    sb = {tuple(r) for r in np.asarray(pb)[np.asarray(vb)].tolist()}
+    assert sd == sb and len(sd) > 0
+
+    col_blk = HydroelasticCollision(
+        conn, mesh_ids, col._init_args["pressures"], broadphase="block",
+        rest_nodes=nodes, block=16, block_pair_cap=64, window=64,
+    )
+    f_d, p_d, _ = col.step(x)
+    f_b, p_b, _ = col_blk.step(x)
+    assert int(np.asarray(p_d.n_contacts)) == int(np.asarray(p_b.n_contacts))
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_d), atol=1e-9)
+
+
+def test_block_broadphase_overflow_detected(overlapping):
+    """Undersized block-pair capacity raises the overflow flag (grow path)."""
+    nodes, conn, mesh_ids, col = overlapping
+    col_small = HydroelasticCollision(
+        conn, mesh_ids, col._init_args["pressures"], broadphase="block",
+        rest_nodes=nodes, block=16, block_pair_cap=2, window=64,
+    )
+    _, _, overflow = col_small.step(jnp.asarray(nodes))
+    assert bool(overflow)
+    grown = col_small.grow()
+    assert grown.blk.block_pair_cap == 4

@@ -19,7 +19,9 @@ from tlfea.collision.broadphase import (
     BroadphaseSetup,
     compact_pairs,
     find_pairs,
+    find_pairs_block,
     find_pairs_dense,
+    setup_block_cross,
     setup_broadphase,
     setup_dense_cross,
 )
@@ -54,10 +56,12 @@ class HydroelasticCollision:
         max_pairs: int = 4096,
         margin: float = 0.0,
         enable_self_collision: bool = False,
-        dense_cross_cap: int = 16_000_000,
+        dense_cross_cap: int = 262_144,
         broadphase: str = "auto",
         rest_nodes: np.ndarray | None = None,
         cell_cap: int | None = None,
+        block: int = 64,
+        block_pair_cap: int = 256,
     ):
         self._init_args = dict(
             conn=np.asarray(conn), mesh_ids=np.asarray(mesh_ids),
@@ -65,7 +69,7 @@ class HydroelasticCollision:
             margin=margin, enable_self_collision=enable_self_collision,
             dense_cross_cap=dense_cross_cap, broadphase=broadphase,
             rest_nodes=None if rest_nodes is None else np.asarray(rest_nodes),
-            cell_cap=cell_cap,
+            cell_cap=cell_cap, block=block, block_pair_cap=block_pair_cap,
         )
         self.bp: BroadphaseSetup = setup_broadphase(
             conn, mesh_ids, window=window, margin=margin
@@ -77,10 +81,13 @@ class HydroelasticCollision:
         # - self-collision on  -> uniform grid hash when rest_nodes are
         #   given (exact 27-cell neighborhoods, static shapes; the sweep
         #   window degenerates on dense self-contact), else sweep-and-prune;
-        # - self-collision off -> exact dense cross-mesh AABB test when the
-        #   cross-pair count fits (robust to mixed element sizes), else SAP.
+        # - self-collision off -> exact dense cross-mesh AABB test while
+        #   the cross-pair count fits (robust to mixed element sizes); past
+        #   `dense_cross_cap` the two-level block test (`find_pairs_block`)
+        #   when rest_nodes are given (spatial element sort), else SAP.
         self.cross_pairs = None
         self.grid = None
+        self.blk = None
         mode = broadphase
         if mode == "auto":
             if enable_self_collision:
@@ -90,12 +97,22 @@ class HydroelasticCollision:
                 if cp is not None and cp.shape[0] <= dense_cross_cap:
                     self.cross_pairs = cp
                     mode = "dense"
+                elif cp is not None and rest_nodes is not None:
+                    mode = "block"
                 else:
                     mode = "sap"
         elif mode == "dense":
             self.cross_pairs = setup_dense_cross(conn, mesh_ids)
             if self.cross_pairs is None:
                 raise ValueError("broadphase='dense' needs >=2 meshes")
+        if mode == "block":
+            if rest_nodes is None:
+                raise ValueError("broadphase='block' requires rest_nodes= for the spatial element sort")
+            self.blk = setup_block_cross(
+                conn, mesh_ids, rest_nodes, block=block, block_pair_cap=block_pair_cap
+            )
+            if self.blk is None:
+                raise ValueError("broadphase='block' needs >=2 meshes")
         if mode == "grid":
             if rest_nodes is None:
                 raise ValueError("broadphase='grid' requires rest_nodes= for cell sizing")
@@ -109,6 +126,7 @@ class HydroelasticCollision:
         pressures_dev = self.pressures
         cross_pairs = self.cross_pairs
         grid = self.grid
+        blk = self.blk
 
         # Phases are compiled SEPARATELY: measured on TPU, one fused jit of
         # the whole pipeline ran 2.6x slower than the four phase programs
@@ -118,6 +136,8 @@ class HydroelasticCollision:
         def _broad(x):
             if cross_pairs is not None:
                 pairs, valid, win_overflow = find_pairs_dense(bp, x, cross_pairs)
+            elif blk is not None:
+                pairs, valid, win_overflow = find_pairs_block(bp, blk, x)
             elif grid is not None:
                 from tlfea.collision.gridhash import find_pairs_grid
 
@@ -171,4 +191,6 @@ class HydroelasticCollision:
         args["max_pairs"] = args["max_pairs"] * factor
         if self.grid is not None:
             args["cell_cap"] = self.grid.cell_cap * factor
+        if self.blk is not None:
+            args["block_pair_cap"] = self.blk.block_pair_cap * factor
         return HydroelasticCollision(**args)
