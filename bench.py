@@ -151,7 +151,117 @@ def run_scale(name, rollout=20, tol=2.5e-2):
         "cg_per_step": float(np.median(np.asarray(cgit))),
         "vs_target": round(steps_per_sec / target, 4),
     }
+    # MFU / HBM roofline from the analytic kernel cost model (see
+    # tlfea/utils/roofline.py — byte counts follow the banded kernels' DMA
+    # schedule; coarse-precond/XLA-glue traffic excluded, so roofline_pct
+    # is a lower bound on achieved HBM utilization).
+    from tlfea.utils.roofline import V5E_HBM_BPS, V5E_PEAK_FLOPS, step_cost
+
+    cost = step_cost(system, info["newton_per_step"], info["cg_per_step"])
+    if cost is not None:
+        sec = wall / rollout
+        info["achieved_gbps"] = round(cost["bytes"] / sec / 1e9, 1)
+        info["achieved_gflops"] = round(cost["flops"] / sec / 1e9, 1)
+        info["roofline_pct"] = round(100.0 * cost["bytes"] / sec / V5E_HBM_BPS, 1)
+        info["mfu_pct"] = round(100.0 * cost["flops"] / sec / V5E_PEAK_FLOPS, 3)
     print(f"[{name}] {info}", file=sys.stderr)
+    return info
+
+
+def run_ancf_shell(rollout=20, tol=2.5e-2, nx=28, ny=28):
+    """ANCF3443 shell-plate scale (VERDICT-r2 item 3): ~10k DOF of the
+    reference's stress-test element (48 stiffness QPs — shell QP load,
+    `SyncedNewton.cu:101`), through the same converged-rollout protocol as
+    the T10 scales.
+
+    vs_target normalization: the north-star is stated per T10 element; ANCF
+    work per element differs, so the target uses QP*S-equivalent elements
+    (E_eff = E * (48*16)/(5*10)) — equal per-step quadrature work, the
+    honest apples-to-apples throughput comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    from tlfea.constraints import FixedCoefs
+    from tlfea.elements import ancf3443
+    from tlfea.elements.assembly import lumped_mass
+    from tlfea.materials import SVK, lame_from_E_nu
+    from tlfea.ops import pallas_fem
+    from tlfea.solvers import System, StepState, newton
+
+    dtype = np.float32
+    coefs, conn = ancf3443.shell_grid(nx, ny, L=0.05, W=0.05)
+    elems = ancf3443.build(coefs, conn, 0.05, 0.05, 0.01, rho=1000.0,
+                           dtype=dtype)
+    n_elem = conn.shape[0]
+    n_coef = coefs.shape[0]
+
+    lam, mu = lame_from_E_nu(1e7, 0.3)
+    mat = SVK(
+        lam=jnp.asarray(lam, dtype), mu=jnp.asarray(mu, dtype),
+        eta_damp=jnp.asarray(1e3, dtype), lam_damp=jnp.asarray(1e3, dtype),
+    )
+    # Clamp the x=0 edge: all 4 coefficient rows of those nodes (position +
+    # directors — the reference's cantilever clamp, `test_ancf3443.cc`).
+    pos_rows = np.arange(0, n_coef, 4)
+    edge_nodes = np.nonzero(coefs[pos_rows, 0] < 1e-12)[0]
+    fixed = (4 * edge_nodes[:, None] + np.arange(4)[None, :]).reshape(-1)
+    system = System(
+        elems=elems, material=mat,
+        constraints=FixedCoefs.from_indices(fixed, coefs.astype(dtype)),
+    )
+    state = StepState.rest(system, coefs.astype(dtype))
+    f_ext = (
+        jnp.zeros((n_coef, 3), dtype).at[:, 2].add(lumped_mass(elems) * dtype(-9.81))
+    )
+    f_scale = float(jnp.sqrt(jnp.sum(f_ext * f_ext)))
+    params = newton.NewtonParams(
+        dt=dtype(1e-3), rho=dtype(1e7),
+        inner_atol=dtype(tol * f_scale), inner_rtol=dtype(0.0),
+        outer_tol=dtype(0.0), max_outer=1, max_inner=6,
+        cg_rtol=dtype(1e-3), cg_max_iter=50, ew_eta_max=dtype(0.5),
+    )
+    try:
+        psystem = pallas_fem.with_pallas(system, banded="auto")
+        _probe = newton.make_step(psystem, params)
+        _s, _ = _probe(state, f_ext)
+        jax.block_until_ready(_s)
+        system = psystem
+    except Exception as e:  # pragma: no cover
+        print(f"[ancf_shell] pallas path unavailable ({type(e).__name__}: "
+              f"{str(e)[:500]}); XLA path", file=sys.stderr)
+
+    roll = newton.make_rollout(system, params, rollout, precond_refresh=8)
+    s, (nit, cgit) = roll(state, f_ext)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    s, (nit, cgit) = roll(s, f_ext)
+    jax.block_until_ready(s)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(s.x)).all(), "simulation diverged"
+
+    ms_per_step = wall / rollout * 1e3
+    steps_per_sec = 1.0 / (wall / rollout)
+    e_eff = n_elem * (48 * 16) / (5 * 10)
+    target = 1.0 / (0.010 * (e_eff / 12500.0))
+    info = {
+        "elems": n_elem,
+        "dofs": 3 * n_coef,
+        "ms_per_step": round(ms_per_step, 2),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "newton_per_step": float(np.median(np.asarray(nit))),
+        "cg_per_step": float(np.median(np.asarray(cgit))),
+        "vs_target": round(steps_per_sec / target, 4),
+    }
+    from tlfea.utils.roofline import V5E_HBM_BPS, V5E_PEAK_FLOPS, step_cost
+
+    cost = step_cost(system, info["newton_per_step"], info["cg_per_step"])
+    if cost is not None:
+        sec = wall / rollout
+        info["achieved_gbps"] = round(cost["bytes"] / sec / 1e9, 1)
+        info["achieved_gflops"] = round(cost["flops"] / sec / 1e9, 1)
+        info["roofline_pct"] = round(100.0 * cost["bytes"] / sec / V5E_HBM_BPS, 1)
+        info["mfu_pct"] = round(100.0 * cost["flops"] / sec / V5E_PEAK_FLOPS, 3)
+    print(f"[ancf_shell] {info}", file=sys.stderr)
     return info
 
 
@@ -162,13 +272,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     scales = os.environ.get(
-        "TLFEA_BENCH_SCALES", "1k,10k,10k_tight,100k"
+        "TLFEA_BENCH_SCALES", "1k,10k,10k_tight,100k,ancf_shell"
     ).split(",")
     series = {}
     for name in scales:
         name = name.strip()
         try:
-            if name.endswith("_tight"):
+            if name == "ancf_shell":
+                series[name] = run_ancf_shell()
+            elif name.endswith("_tight"):
                 # Tight convergence: 0.5% of the load norm. The measured f32
                 # residual floor post displacement-space rework is ~4e-4 of load
                 # mid-transient (PERF_NOTES), so this tolerance is honestly

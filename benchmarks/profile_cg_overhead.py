@@ -125,7 +125,7 @@ def loop(pre, hvp, iters=10):
     def run(b, co):
         def pr(r):
             return pre(r, co)
-        xx, k, _ = _pcg(hvp, pr, b, 0.0, iters)
+        xx, k, _, _ = _pcg(hvp, pr, b, 0.0, iters)
         return xx
     return run
 
@@ -141,7 +141,7 @@ timeit("10-iter PCG, identity Hv, identity pre",
 def real_banded(b, co, bd):
     _, hv = pallas_banded.g_and_hvp_banded(v, x, v, state.lam, f_ext, dt,
                                            rho, system, bdata=bd)
-    xx, k, _ = _pcg(hv, lambda r: full_pre(r, co), b, 0.0, 10)
+    xx, k, _, _ = _pcg(hv, lambda r: full_pre(r, co), b, 0.0, 10)
     return xx
 
 
@@ -156,7 +156,7 @@ if scale != "100k":
     def real_flat(b):
         _, hv = pallas_fem.g_and_hvp(v, x, v, state.lam, f_ext, dt, rho,
                                      system)
-        xx, k, _ = _pcg(hv, lambda r: full_pre(r, coarse), b, 0.0, 10)
+        xx, k, _, _ = _pcg(hv, lambda r: full_pre(r, coarse), b, 0.0, 10)
         return xx
 
     timeit("10-iter PCG, flat Hv, bj+coarse", real_flat, p, iters=10,

@@ -22,17 +22,20 @@ def accelerate(system):
     """Route the system through the Pallas element kernels (banded fused
     gather/scatter when the mesh's node numbering allows) on accelerator
     backends. No-op on CPU — interpret-mode Pallas is orders slower — and
-    for non-SVK materials. Demos that retarget constraints every step
-    (prescribed motion) should skip this: Pallas systems re-trace per
-    constraints object (see newton.stepper)."""
+    for materials without a tile algebra (SVK and Mooney-Rivlin both have
+    one, `pallas_fem.tile_material`). Prescribed-motion demos should use
+    `DensePins` constraints: FixedCoefs on a BANDED Pallas system must be
+    jaxpr constants and retraces per retarget (newton._cons_closure);
+    DensePins retargets data-only."""
     import jax
 
     if jax.default_backend() == "cpu":
         return system
-    from tlfea.materials import SVK
     from tlfea.ops import pallas_fem
 
-    if not isinstance(system.material, SVK):
+    try:
+        pallas_fem.tile_material(system.material)
+    except ValueError:
         return system
     try:
         return pallas_fem.with_pallas(system, banded="auto")

@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from tlfea.collision.hydroelastic import HydroelasticCollision, HydroelasticParams
-from tlfea.constraints import FixedCoefs
+from tlfea.constraints import DensePins
 from tlfea.elements import feat10
 from tlfea.materials import SVK, lame_from_E_nu
 from tlfea.simulation import Simulation
@@ -30,7 +30,7 @@ from tlfea.utils.mesh_manager import MeshManager
 from tlfea.utils.pressure import distance_pressure_field
 from tlfea.utils.tetmesh import box_t10_mesh, read_tetgen
 
-from _common import REF_DATA, make_solver, out_dir
+from _common import REF_DATA, accelerate, make_solver, out_dir
 
 
 def main():
@@ -94,9 +94,14 @@ def main():
     l_drive = l_ids[ln[:, 0] < ln[:, 0].min() + 1e-9]
     r_drive = r_ids[rn[:, 0] > rn[:, 0].max() - 1e-9]
     driven = np.concatenate([l_drive, r_drive])
+    # DensePins: membership + targets as dense fields, so per-step
+    # retargeting (the close/hold/reopen schedule) is data-only — no retrace
+    # even on the banded Pallas fast path (FixedCoefs there must be jaxpr
+    # constants and would recompile every step; see newton._cons_closure).
     system = System(
-        elems=elems, material=mat, constraints=FixedCoefs.from_indices(driven, nodes)
+        elems=elems, material=mat, constraints=DensePins.from_indices(driven, nodes)
     )
+    system = accelerate(system)
     state = StepState.rest(system, nodes)
 
     collision = HydroelasticCollision(
@@ -111,7 +116,8 @@ def main():
 
     n_close = int(args["close_frac"] * args["steps"])
     n_hold = int(args["hold_frac"] * args["steps"])
-    target = nodes[driven].copy()
+    # Full-field target (DensePins): rows outside `driven` are inert.
+    target = nodes.copy()
     nl = len(l_drive)
     d = out_dir("bubble_gripper")
     t0 = time.time()
@@ -123,8 +129,8 @@ def main():
             dx = 0.0
         else:
             dx = -args["close_speed"] * args["dt"]
-        target[:nl, 0] += dx
-        target[nl:, 0] -= dx
+        target[l_drive, 0] += dx
+        target[r_drive, 0] -= dx
         sim.set_constraint_targets(target)
         diag = sim.step()
         if k % 20 == 0:

@@ -73,8 +73,8 @@ def main():
     params = newton.NewtonParams(
         dt=args["dt"], rho=1e8, inner_atol=1e-6, inner_rtol=1e-6,
         outer_tol=1e-8, max_outer=2, max_inner=8, cg_rtol=1e-4, cg_max_iter=300,
-        max_dv=20.0,  # bounded step: the SVK tangent is indefinite under
-        # contact compression; an unbounded CG direction diverges this run
+        # Default globalization (ls_max backtracking on ||g||) handles the
+        # indefinite SVK tangent at contact onset — no per-scene knobs.
     )
     sim = Simulation(
         system, StepState.rest(system, nodes), newton.stepper(params),

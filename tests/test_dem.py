@@ -143,7 +143,7 @@ def test_dem_bridge_attribution():
     x = mm.nodes
 
     class FakeBackend:
-        def do_dynamics(self, meshes, x_np):
+        def do_dynamics(self, meshes, x_np, v_np=None):
             pts = np.array([x_np[0] + 1e-3, x_np[-1] - 1e-3])
             frc = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 2.0]])
             return pts, frc, np.array([0, 1])
@@ -157,3 +157,82 @@ def test_dem_bridge_attribution():
     np.testing.assert_allclose(f.sum(axis=0), [0.0, 0.0, 3.0], atol=1e-9)
     np.testing.assert_allclose(f[ids_a].sum(axis=0), [0.0, 0.0, 1.0], atol=1e-9)
     np.testing.assert_allclose(f[ids_b].sum(axis=0), [0.0, 0.0, 2.0], atol=1e-9)
+
+
+def test_dem_bridge_cosim_loop():
+    """Full co-simulation exchange loop through `Simulation` + Newton
+    (reference `DemeMeshCollisionSystem.cu:548-620`): each step PRESCRIBES
+    the current FEA positions AND velocities to the engine, the engine runs
+    its own dynamics (here a scripted granular floor with persistent
+    internal state), forces are RETRIEVED and spread K-nearest. Asserts the
+    exchange discipline (fresh state every call, monotone engine clock) and
+    the physics (the falling box is arrested by the DEM floor)."""
+    from tlfea.collision.dem_bridge import DemMeshCollision
+    from tlfea.constraints import FixedCoefs
+    from tlfea.elements import feat10
+    from tlfea.materials import SVK, lame_from_E_nu
+    from tlfea.simulation import Simulation, gravity_force
+    from tlfea.solvers import StepState, System, newton
+
+    mm = MeshManager()
+    n1, c1 = box_t10_mesh(0.3, 0.3, 0.15, 2, 2, 1)
+    mm.add_mesh(n1, c1, "drop")
+    mm.translate_mesh(0, (0.0, 0.0, 0.05))  # 5 cm above the DEM floor
+    nodes = mm.nodes.copy()
+
+    class ScriptedFloorEngine:
+        """Mock DEM engine: penalty floor at z=0 with damping, acting at
+        penetrating surface nodes. Keeps an internal clock to verify one
+        DoDynamics per exchange; records prescribed states."""
+
+        def __init__(self, kn=5e4, cn=100.0):
+            self.kn, self.cn = kn, cn
+            self.calls = 0
+            self.prescribed = []
+
+        def do_dynamics(self, meshes, x_np, v_np=None):
+            assert v_np is not None, "bridge must prescribe velocities"
+            self.calls += 1
+            self.prescribed.append((x_np.copy(), v_np.copy()))
+            tris = meshes.surface_triangles(0)
+            surf = np.unique(tris.reshape(-1))
+            pen = -x_np[surf, 2]
+            hit = pen > 0.0
+            ids = surf[hit]
+            if len(ids) == 0:
+                return (np.zeros((0, 3)), np.zeros((0, 3)),
+                        np.zeros((0,), np.int64))
+            fz = self.kn * pen[hit] - self.cn * v_np[ids, 2]
+            frc = np.zeros((len(ids), 3))
+            frc[:, 2] = np.maximum(fz, 0.0)
+            pts = x_np[ids]
+            return pts, frc, np.zeros((len(ids),), np.int64)
+
+    engine = ScriptedFloorEngine()
+    bridge = DemMeshCollision(mm, backend=engine, k_nearest=4)
+
+    lam, mu = lame_from_E_nu(5e5, 0.3)
+    mat = SVK(lam=lam, mu=mu, eta_damp=2e2, lam_damp=2e2)
+    system = System(elems=feat10.build(nodes, c1, rho=1000.0), material=mat)
+    params = newton.NewtonParams(
+        dt=2e-3, rho=1e6, inner_atol=1e-5, inner_rtol=1e-5, max_outer=1,
+        max_inner=6, cg_rtol=1e-4, cg_max_iter=100,
+    )
+    sim = Simulation(
+        system, StepState.rest(system, nodes), newton.stepper(params),
+        base_f_ext=gravity_force(system), collision=bridge,
+    )
+    n_steps = 120
+    sim.run(n_steps)
+    # Exchange discipline: exactly one DoDynamics per step, states fresh.
+    assert engine.calls == n_steps
+    x0_first, _ = engine.prescribed[0]
+    x0_last, v_last = engine.prescribed[-1]
+    assert not np.allclose(x0_first, x0_last)  # the mesh moved between calls
+    # Physics: arrested by the floor (not in free fall: 0.12 s of free fall
+    # from 5 cm would put the box bottom at z ~ -0.02), still above it, and
+    # nearly settled.
+    zmin = float(np.asarray(sim.state.x)[:, 2].min())
+    assert zmin > -0.02, f"fell through the DEM floor (zmin={zmin})"
+    assert float(np.abs(np.asarray(sim.state.v)).max()) < 1.0
+    assert engine.calls == n_steps

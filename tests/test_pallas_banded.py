@@ -23,17 +23,18 @@ from tlfea.utils.tetmesh import box_t10_mesh
 DTYPE = np.float64
 
 
-def _problem(nx, ny, nz, L=1.0, reorder=False):
+def _problem(nx, ny, nz, L=1.0, reorder=False, mat=None):
     nodes, conn = box_t10_mesh(L, 0.3, 0.3, nx, ny, nz)
     if reorder:
         from tlfea.utils.reorder import apply_node_order, rcm_order
 
         nodes, conn = apply_node_order(nodes, conn, rcm_order(conn, len(nodes)))
     lam, mu = lame_from_E_nu(1e7, 0.3)
-    mat = SVK(
-        lam=jnp.asarray(lam, DTYPE), mu=jnp.asarray(mu, DTYPE),
-        eta_damp=jnp.asarray(1e3, DTYPE), lam_damp=jnp.asarray(1e3, DTYPE),
-    )
+    if mat is None:
+        mat = SVK(
+            lam=jnp.asarray(lam, DTYPE), mu=jnp.asarray(mu, DTYPE),
+            eta_damp=jnp.asarray(1e3, DTYPE), lam_damp=jnp.asarray(1e3, DTYPE),
+        )
     fixed = np.nonzero(nodes[:, 0] < 1e-12)[0]
     elems = feat10.build(nodes, conn, rho=1000.0, dtype=DTYPE)
     system = System(
@@ -186,3 +187,39 @@ def test_banded_matches_linearize():
     )
     assert _rel(g_b, g_ref) < 1e-12
     assert _rel(hvp_b(st["p"]), hvp_ref(st["p"])) < 1e-12
+
+
+@pytest.mark.slow
+def test_banded_matches_linearize_mooney_rivlin():
+    """Mooney-Rivlin through the banded fused kernels (tile algebra
+    `pallas_fem._MRTile`: cancellation-free J-1, cached F^{-T}/invariants,
+    hand-derived directional tangent) == jax.linearize(grad_L) on the XLA
+    einsum path. Exact-arithmetic interpret-mode parity in f64."""
+    from tlfea.materials import MooneyRivlin
+
+    mat = MooneyRivlin(
+        mu10=jnp.asarray(2.0e5, DTYPE), mu01=jnp.asarray(5.0e4, DTYPE),
+        kappa=jnp.asarray(1.0e6, DTYPE),
+        eta_damp=jnp.asarray(1e2, DTYPE), lam_damp=jnp.asarray(1e2, DTYPE),
+    )
+    nodes, system, fixed = _problem(8, 2, 2, mat=mat)
+    system = pallas_fem.with_pallas(
+        system, dtype=DTYPE, interpret=True, banded=True
+    )
+    st = _rand_state(nodes, fixed)
+    f_ext = jnp.zeros((nodes.shape[0], 3), DTYPE).at[:, 2].add(
+        lumped_mass(system.elems) * DTYPE(-9.81)
+    )
+    dt, rho = DTYPE(1e-3), DTYPE(1e6)
+
+    g_ref, hvp_ref = jax.linearize(
+        lambda vv: grad_L(vv, st["x_prev"], st["v_prev"], st["lam_dual"],
+                          f_ext, dt, rho, system, u_prev=st["u_prev"]),
+        st["v"],
+    )
+    g_b, hvp_b = pallas_banded.g_and_hvp_banded(
+        st["v"], st["x_prev"], st["v_prev"], st["lam_dual"], f_ext, dt, rho,
+        system, u_prev=st["u_prev"],
+    )
+    assert _rel(g_b, g_ref) < 1e-11
+    assert _rel(hvp_b(st["p"]), hvp_ref(st["p"])) < 1e-11

@@ -29,6 +29,16 @@ def setup():
     return nodes.astype(dtype), conn, elems, mat
 
 
+def _mr_material(damped=True):
+    d = np.float32
+    z = d(1e2) if damped else d(0.0)
+    return MooneyRivlin(
+        mu10=jnp.asarray(d(2.0e5)), mu01=jnp.asarray(d(5.0e4)),
+        kappa=jnp.asarray(d(1.0e6)),
+        eta_damp=jnp.asarray(z), lam_damp=jnp.asarray(z),
+    )
+
+
 def test_kernel_matches_xla_primal_and_tangent(setup):
     nodes, conn, elems, mat = setup
     contrib, tpd = pallas_fem.make_element_contrib(elems, mat, interpret=True)
@@ -91,15 +101,47 @@ def test_pallas_precond_blocks_match(setup):
     assert rel < 1e-5
 
 
-def test_with_pallas_rejects_non_svk(setup):
+@pytest.mark.parametrize("damped", [False, True])
+def test_kernel_matches_xla_mooney_rivlin(setup, damped):
+    """Mooney-Rivlin tile algebra (`pallas_fem._MRTile`) vs the XLA einsum
+    path — primal stress AND the hand-derived directional tangent (vs the
+    XLA path's jax.jvp), with and without Kelvin-Voigt damping."""
+    nodes, conn, elems, _ = setup
+    mat = _mr_material(damped)
+    contrib, tpd = pallas_fem.make_element_contrib(elems, mat, interpret=True)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(nodes + 0.01 * rng.standard_normal(nodes.shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(nodes.shape).astype(np.float32))
+    dv = jnp.asarray(rng.standard_normal(nodes.shape).astype(np.float32))
+    tans = tuple(
+        jnp.asarray(rng.standard_normal(nodes.shape).astype(np.float32)) for _ in range(3)
+    )
+
+    f_ref = lambda x, v, dv: alm_residual_contributions(x, v, dv, elems, mat)
+    f_pal = lambda x, v, dv: pallas_fem.residual_contributions(x, v, dv, elems, contrib, tpd)
+    r_ref, d_ref = jax.jvp(f_ref, (x, v, dv), tans)
+    r_pal, d_pal = jax.jvp(f_pal, (x, v, dv), tans)
+    rs = float(jnp.abs(r_ref).max())
+    ds = float(jnp.abs(d_ref).max())
+    assert float(jnp.abs(r_pal - r_ref).max()) / rs < 1e-5
+    assert float(jnp.abs(d_pal - d_ref).max()) / ds < 1e-5
+
+
+def test_with_pallas_material_support(setup):
+    """MR is accepted (XLA precond fallback, no Pallas precond kernel);
+    a material without a tile algebra raises."""
     nodes, conn, elems, mat = setup
     system = System(
-        elems=elems,
-        material=MooneyRivlin(mu10=1e5, mu01=1e4, kappa=1e6),
-        constraints=None,
+        elems=elems, material=_mr_material(), constraints=None,
     )
+    psys = pallas_fem.with_pallas(system, interpret=True)
+    assert psys.pallas is not None and psys.pallas.precond_fn is None
+
+    class NotAMaterial:
+        pass
+
     with pytest.raises(ValueError):
-        pallas_fem.with_pallas(system)
+        pallas_fem.with_pallas(system.replace(material=NotAMaterial()))
 
 
 def test_specialized_hv_matches_linearize(setup):
@@ -111,7 +153,12 @@ def test_specialized_hv_matches_linearize(setup):
     nodes, conn, elems, mat = setup
     rng = np.random.default_rng(2)
     dtype = np.float32
-    mats = [mat, SVK(lam=mat.lam, mu=mat.mu, eta_damp=jnp.asarray(dtype(0)), lam_damp=jnp.asarray(dtype(0)))]
+    mats = [
+        mat,
+        SVK(lam=mat.lam, mu=mat.mu, eta_damp=jnp.asarray(dtype(0)), lam_damp=jnp.asarray(dtype(0))),
+        _mr_material(damped=True),
+        _mr_material(damped=False),
+    ]
     conss = [None, FixedCoefs.from_indices(np.nonzero(nodes[:, 0] < 1e-9)[0], nodes)]
     for m in mats:
         for cons in conss:

@@ -82,11 +82,13 @@ def test_hairpin_self_contact_resists_closing(hairpin):
     the upper leg presses onto the lower leg; self-contact patches appear
     and the surfaces do not cross.
 
-    This scenario requires the bounded Newton step (max_dv): the SVK
-    tangent is indefinite under contact compression, and an unbounded CG
-    direction was measured teleporting the run from vmax 1.5 to 1e19 m/s
-    in ONE step (reproduced with the warm start off, 10x damping, and at
-    dt=5e-4). With max_dv=20 the same run is stable through 337 contacts."""
+    This scenario requires Newton globalization: the SVK tangent is
+    indefinite under contact compression, and an unguarded CG direction was
+    measured teleporting the run from vmax 1.5 to 1e19 m/s in ONE step
+    (reproduced with the warm start off, 10x damping, and at dt=5e-4). The
+    DEFAULT residual-norm backtracking safeguard (NewtonParams.ls_max,
+    triggered by CG's negative-curvature flag) must keep it stable with no
+    per-scene knobs — this test runs stock params on purpose."""
     import jax.numpy as jnp
 
     from tlfea.constraints import FixedCoefs
@@ -115,7 +117,6 @@ def test_hairpin_self_contact_resists_closing(hairpin):
     params = newton.NewtonParams(
         dt=1e-3, rho=1e8, inner_atol=1e-6, inner_rtol=1e-6, outer_tol=1e-8,
         max_outer=2, max_inner=8, cg_rtol=1e-4, cg_max_iter=300,
-        max_dv=20.0,  # bounded step: see docstring
     )
     sim = Simulation(
         system, state, newton.stepper(params), collision=collision,

@@ -78,3 +78,91 @@ def test_padded_elements_contribute_nothing(problem):
         np.asarray(mass_matvec(v, padded)),
         atol=1e-12,
     )
+
+
+def test_sharded_rollout_matches_single_device(problem):
+    """Multi-STEP evidence (VERDICT-r2 item 5): a 10-step `make_rollout`
+    lax.scan over the sharded system reproduces the single-device
+    trajectory — collectives inside a scan carry no cross-step drift."""
+    system, state, params, f_ext = problem
+    n_steps = 10
+
+    roll_ref = newton.make_rollout(system, params, n_steps)
+    ref_state, (ref_nit, _) = roll_ref(state, f_ext)
+
+    mesh = make_elem_mesh(jax.devices()[:8])
+    ssystem = shard_system(system, mesh)
+    roll_sh = newton.make_rollout(ssystem, params, n_steps)
+    sh_state, (sh_nit, _) = roll_sh(
+        replicate(state, mesh), replicate(f_ext, mesh)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(sh_state.x), np.asarray(ref_state.x), rtol=1e-12, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.v), np.asarray(ref_state.v), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_array_equal(np.asarray(sh_nit), np.asarray(ref_nit))
+
+
+def test_sharded_collision_coupled_steps():
+    """Collision-coupled stepping on a sharded system: two-mesh hydroelastic
+    contact scene, FEA elements sharded over 8 devices, collision pipeline
+    consuming the replicated node state — trajectory matches unsharded."""
+    from tlfea.collision.hydroelastic import HydroelasticCollision, HydroelasticParams
+    from tlfea.simulation import Simulation, gravity_force
+    from tlfea.utils.mesh_manager import MeshManager
+    from tlfea.utils.pressure import distance_pressure_field
+
+    mm = MeshManager()
+    n1, c1 = box_t10_mesh(0.3, 0.3, 0.12, 2, 2, 1)
+    a = mm.add_mesh(n1, c1, "lower")
+    b = mm.add_mesh(n1, c1, "upper")
+    mm.translate_mesh(b, (0.02, 0.02, 0.115))  # slight overlap: contact on
+    for mid in (a, b):
+        inst = mm.instances[mid]
+        lc = mm.elements[inst.elem_offset: inst.elem_offset + inst.n_elems]
+        mm.set_scalar_field(
+            mid, distance_pressure_field(mm.mesh_nodes(mid), lc - inst.node_offset, 5e5)
+        )
+    nodes, conn = mm.nodes, mm.elements
+
+    lam, mu = lame_from_E_nu(5e5, 0.3)
+    mat = SVK(lam=lam, mu=mu, eta_damp=2e2, lam_damp=2e2)
+    floor = np.nonzero(nodes[:, 2] < 1e-12)[0]
+    system = System(
+        elems=feat10.build(nodes, conn, rho=1000.0), material=mat,
+        constraints=FixedCoefs.from_indices(floor, nodes),
+    )
+    params = newton.NewtonParams(dt=1e-3, rho=1e8, inner_atol=1e-8,
+                                 max_outer=1, max_inner=8, cg_max_iter=100)
+
+    def run(sys_, mesh=None):
+        collision = HydroelasticCollision(
+            conn, mm.elem_mesh_ids(), mm.scalar_field(), window=64,
+            max_pairs=2048,
+        )
+        st = StepState.rest(sys_, nodes)
+        f0 = gravity_force(sys_)
+        if mesh is not None:
+            st, f0 = replicate(st, mesh), replicate(f0, mesh)
+        sim = Simulation(sys_, st, newton.stepper(params), base_f_ext=f0,
+                         collision=collision,
+                         collision_params=HydroelasticParams(friction=0.3))
+        n_contacts = 0
+        for _ in range(5):
+            diag = sim.step()
+            assert not bool(np.asarray(diag.get("collision_overflow", False)))
+            if sim.last_patches is not None:
+                n_contacts = max(n_contacts, int(np.asarray(sim.last_patches.n_contacts)))
+        return np.asarray(sim.state.x), np.asarray(sim.state.v), n_contacts
+
+    x_ref, v_ref, nc_ref = run(system)
+    assert nc_ref > 0, "scene must actually be in contact"
+
+    mesh = make_elem_mesh(jax.devices()[:8])
+    x_sh, v_sh, nc_sh = run(shard_system(system, mesh), mesh=mesh)
+    assert nc_sh == nc_ref
+    np.testing.assert_allclose(x_sh, x_ref, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(v_sh, v_ref, rtol=1e-8, atol=1e-10)

@@ -55,7 +55,7 @@ class DemMeshCollision:
     engine.
 
     Pass `backend` implementing
-    `do_dynamics(meshes, x) -> (points, forces, mesh_ids)` where `mesh_ids`
+    `do_dynamics(meshes, x, v) -> (points, forces, mesh_ids)` where `mesh_ids`
     attributes each contact to one registered mesh (the reference retrieves
     forces per registered DEME mesh owner,
     `DemeMeshCollisionSystem.cu:607-615`); each contact is spread only onto
@@ -81,10 +81,17 @@ class DemMeshCollision:
         self.k_nearest = k_nearest
 
     def step(self, x, v=None, params=None):
+        """One co-sim exchange (reference loop `DemeMeshCollisionSystem.cu:
+        548-620`): PRESCRIBE the current mesh state to the engine (positions
+        + velocities — DEME family-prescribes mesh motion, so contacts see
+        the correct relative velocity), let it DoDynamics internally, then
+        RETRIEVE per-contact forces and spread them onto each contact's own
+        mesh (K-nearest inverse-distance, exact third law per mesh)."""
         import jax.numpy as jnp
 
         x_np = np.asarray(x)
-        out = self.backend.do_dynamics(self.mm, x_np)
+        v_np = None if v is None else np.asarray(v)
+        out = self.backend.do_dynamics(self.mm, x_np, v_np)
         if len(out) != 3:
             raise ValueError(
                 "DEM backend must return (points, forces, mesh_ids): without "

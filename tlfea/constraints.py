@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["FixedCoefs", "LinearConstraints", "no_constraints"]
+__all__ = ["FixedCoefs", "DensePins", "LinearConstraints", "no_constraints"]
 
 
 @struct.dataclass
@@ -69,6 +69,86 @@ class FixedCoefs:
         """Functional analogue of `UpdateConstraintTargets`
         (`FEAT10Data.cuh:687-701`): prescribe new target positions."""
         return FixedCoefs(idx=self.idx, target=jnp.asarray(target))
+
+
+@struct.dataclass
+class DensePins:
+    """Pin constraints as DENSE per-coefficient fields: mask (n, 1) in
+    {0, 1} selects pinned coefficients, target (n, 3) their prescribed
+    positions (ignored where mask = 0).
+
+    The TPU-native answer to the reference's runtime pin management
+    (`SetNodalFixed` / `UpdateNodalFixed`, `FEAT10Data.cu:728-832`):
+    because BOTH membership and targets are data (fixed shapes, no index
+    arrays), changing WHICH coefficients are pinned (`with_mask` /
+    `pinning`) or WHERE they are pinned (`with_targets`) never retraces —
+    including on the banded Pallas fast path, where compact `FixedCoefs`
+    index arrays must be jaxpr constants (`newton._cons_closure` TPU
+    miscompile workaround) and therefore recompile per constraints object.
+    All constraint algebra is elementwise (J = diag(mask)): no gather or
+    scatter anywhere, which is also why it is immune to the traced-indices
+    miscompile by construction.
+
+    Duals are dense too: StepState.lam has shape (n, 3), zero (and staying
+    zero — c is masked) at unpinned coefficients. Memory cost is one extra
+    node-vector, negligible beside the element tables.
+    """
+
+    mask: jnp.ndarray  # (n, 1) working-dtype {0., 1.}
+    target: jnp.ndarray  # (n, 3)
+
+    @staticmethod
+    def from_indices(idx, x0) -> "DensePins":
+        """Pin coefficients `idx` at their current positions in x0."""
+        x0 = jnp.asarray(x0)
+        idx = np.asarray(idx, dtype=np.int32)
+        mask = jnp.zeros((x0.shape[0], 1), x0.dtype).at[idx].set(1.0)
+        return DensePins(mask=mask, target=x0)
+
+    @property
+    def n_constraints(self) -> int:
+        return 3 * self.mask.shape[0]
+
+    def eval_c(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Masked constraint values, shape (n, 3)."""
+        return self.mask * (x - self.target)
+
+    def eval_c_u(self, u: jnp.ndarray, x_ref: jnp.ndarray) -> jnp.ndarray:
+        """c from displacements, grouped for f32 precision (see
+        FixedCoefs.eval_c_u)."""
+        return self.mask.astype(u.dtype) * (
+            u - (self.target - x_ref).astype(u.dtype)
+        )
+
+    def apply_jt(self, y: jnp.ndarray, n_coef: int) -> jnp.ndarray:
+        """J^T y = mask * y (J is a diagonal selection)."""
+        return self.mask.astype(y.dtype) * y
+
+    def jtj_diag(self, n_coef: int, dtype) -> jnp.ndarray:
+        """diag(J^T J) over coefficients -> (n_coef,) of {0, 1}."""
+        return self.mask[:, 0].astype(dtype)
+
+    def with_targets(self, target: jnp.ndarray) -> "DensePins":
+        """Prescribe new targets (`UpdateConstraintTargets` analogue). The
+        caller may pass a full (n, 3) field; entries at unpinned
+        coefficients are inert."""
+        return DensePins(mask=self.mask, target=jnp.asarray(target))
+
+    def with_mask(self, mask: jnp.ndarray) -> "DensePins":
+        """Replace the membership mask (`UpdateNodalFixed` analogue,
+        `FEAT10Data.cu:751-832`) — same shapes, so no retrace."""
+        return DensePins(mask=jnp.asarray(mask), target=self.target)
+
+    def pinning(self, idx, pinned: bool, x0=None) -> "DensePins":
+        """Pin or release coefficients `idx`; when pinning with `x0` given,
+        targets are refreshed to the current positions (the reference's
+        UpdateNodalFixed semantics: newly fixed nodes hold where they are)."""
+        idx = np.asarray(idx, dtype=np.int32)
+        mask = self.mask.at[idx].set(1.0 if pinned else 0.0)
+        target = self.target
+        if pinned and x0 is not None:
+            target = target.at[idx].set(jnp.asarray(x0)[idx])
+        return DensePins(mask=mask, target=target)
 
 
 @struct.dataclass

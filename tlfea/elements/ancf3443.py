@@ -16,7 +16,7 @@ import numpy as np
 from tlfea.elements.ancf import MONOMIALS_3443, build_ancf_batch
 from tlfea.elements.assembly import ElementBatch
 
-__all__ = ["build", "shell_strip", "N_SHAPE"]
+__all__ = ["build", "shell_strip", "shell_grid", "N_SHAPE"]
 
 N_SHAPE = 16
 STIFF_RULE = (4, 4, 3)
@@ -73,6 +73,40 @@ def shell_strip(n_elem: int, L: float = 1.0, W: float = 1.0):
         [
             [nid(e, False), nid(e + 1, False), nid(e + 1, True), nid(e, True)]
             for e in range(n_elem)
+        ],
+        dtype=np.int64,
+    )
+    return coefs, conn
+
+
+def shell_grid(nx: int, ny: int, L: float = 1.0, W: float = 1.0):
+    """nx x ny structured plate of shells in the z=0 plane.
+
+    2-D generalization of `shell_strip` (reference chain-of-shells generator,
+    `cpu_utils.cc:476-520`): interior edges are shared, so the mesh is a
+    conforming plate — the shape the reference's shell demos tile. Element
+    (i, j) spans [i L, (i+1) L] x [j W, (j+1) W]; corner order matches
+    `shell_strip` (counter-clockwise from the low corner). Returns
+    (coefs (4*n_nodes, 3), conn (nx*ny, 4)).
+    """
+    n_nodes = (nx + 1) * (ny + 1)
+    coefs = np.zeros((4 * n_nodes, 3))
+
+    def nid(i, j):
+        return j * (nx + 1) + i
+
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            b = 4 * nid(i, j)
+            coefs[b + 0] = [i * L, j * W, 0.0]
+            coefs[b + 1] = [1.0, 0.0, 0.0]  # r_u
+            coefs[b + 2] = [0.0, 1.0, 0.0]  # r_v
+            coefs[b + 3] = [0.0, 0.0, 1.0]  # r_w
+    conn = np.asarray(
+        [
+            [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            for j in range(ny)
+            for i in range(nx)
         ],
         dtype=np.int64,
     )

@@ -34,6 +34,20 @@ class MooneyRivlin:
     eta_damp: jnp.ndarray = struct.field(default=0.0)
     lam_damp: jnp.ndarray = struct.field(default=0.0)
 
+    @property
+    def mu(self):
+        """Small-strain shear-modulus equivalent, mu = 2 (mu10 + mu01).
+
+        Used only where a Lamé-parameter SCALE is needed (preconditioner
+        blocks, `suggest_rho`, viscous-fold proportionality) — the stress
+        itself always evaluates the full Mooney-Rivlin form."""
+        return 2.0 * (self.mu10 + self.mu01)
+
+    @property
+    def lam(self):
+        """Small-strain first-Lamé equivalent, lam = kappa - 2 mu / 3."""
+        return self.kappa - (4.0 / 3.0) * (self.mu10 + self.mu01)
+
     def first_piola(self, F: jnp.ndarray) -> jnp.ndarray:
         """Elastic first Piola-Kirchhoff stress for F of shape (..., 3, 3)."""
         C = jnp.einsum("...ki,...kj->...ij", F, F)

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tlfea.ops.pallas_fem import (
-    EBLK, LANE, PALLAS_OK, SUB, _hv_fe, _primal_fe,
+    EBLK, LANE, PALLAS_OK, SUB, _hv_fe, _primal_fe, tile_material,
 )
 
 if PALLAS_OK:  # pragma: no branch
@@ -373,6 +373,8 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
         cl, E, n_blocks, S, RT, rep=rep_np
     )
 
+    mops = tile_material(material)
+
     # VMEM feasibility: a mesh can pass the w_cap span check yet blow the
     # ~16 MB scoped-VMEM budget per grid step (measured: the dragon item-
     # drop mesh in natural TetGen order builds W=26k / I_cap~1.2k and the
@@ -381,7 +383,7 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     # and refuse — callers fall back to the flat Pallas path, and a
     # bandwidth-reducing node order (utils.reorder) restores eligibility.
     Q_ = int(np.asarray(elems.grad_N).shape[1])
-    PR_ = Q_ * 27 + 1  # damped upper bound, padded
+    PR_ = Q_ * mops.prep_rows + 1  # padded
     blk_bytes = ROW * SUB * 4 * (
         (9 + 3) * WR2 // SUB + PR_ + S + Q_ * S * 3 + Q_ + S * S
     ) + I_cap * SUB * ROW + P_comb * S * SUB * ROW * 2
@@ -428,18 +430,12 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     r0_j = jnp.asarray(r0.reshape(-1))
 
     Q = int(np.asarray(elems.grad_N).shape[1])
-    lam = float(material.lam)
-    mu = float(material.mu)
-    eta = float(material.eta_damp)
-    lam_d = float(material.lam_damp)
-    damped = (eta != 0.0) or (lam_d != 0.0)
-    PR = Q * (27 if damped else 18)
+    PR = Q * mops.prep_rows
     # Even row-group count so PR_pad*SUB is 16-aligned (bf16 tiling when
     # hv_dtype="bfloat16"; free in f32).
     PR_pad = PR + (PR % 2)
 
-    phys = dict(Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
-                damped=damped, tmask=elems.trans_mask)
+    phys = dict(Q=Q, S=S, mops=mops, tmask=elems.trans_mask)
     geom = dict(K=K, RT=RT, WR2=WR2, I_cap=I_cap, P_comb=P_comb)
 
     def _indb(b, *s):  # per-block data (items / element tables)
@@ -664,7 +660,7 @@ def _store_fe(fes_ref, fe, S):
 def _hv_banded_body(
     wb_r, first_r, r0_r, fid_r, ranges_r,
     dt_ref, win_ref, inv_ref, *rest,
-    Q, S, lam, mu, eta, lam_d, damped, tmask, PR, K, RT, WR2, I_cap, P_comb,
+    Q, S, mops, tmask, PR, K, RT, WR2, I_cap, P_comb,
 ):
     if P_comb:
         (comb_ref, cl_ref, prep_ref, gN_ref, dV_ref, Me_ref,
@@ -690,8 +686,7 @@ def _hv_banded_body(
         lambda q: dV_ref[0, pl.ds(q * SUB, SUB), :],
         lambda a, bb: Me_ref[0, pl.ds((a * S + bb) * SUB, SUB), :],
         dt,
-        Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
-        tmask=tmask,
+        Q=Q, S=S, mops=mops, tmask=tmask,
     )
     _store_fe(fes_ref, fe, S)
     _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
@@ -702,7 +697,7 @@ def _hv_banded_body(
 def _primal_banded_body(
     wb_r, first_r, r0_r, fid_r, ranges_r,
     win_ref, inv_ref, *rest,
-    Q, S, lam, mu, eta, lam_d, damped, tmask, K, RT, WR2, I_cap, P_comb,
+    Q, S, mops, tmask, K, RT, WR2, I_cap, P_comb,
 ):
     if P_comb:
         (comb_ref, cl_ref, gN_ref, dV_ref, Me_ref,
@@ -728,8 +723,7 @@ def _primal_banded_body(
         lambda q: dV_ref[0, pl.ds(q * SUB, SUB), :],
         lambda a, bb: Me_ref[0, pl.ds((a * S + bb) * SUB, SUB), :],
         prep_write,
-        Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
-        tmask=tmask,
+        Q=Q, S=S, mops=mops, tmask=tmask,
     )
     _store_fe(fes_ref, fe, S)
     _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
@@ -802,7 +796,7 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
     the layout question moot and is also faster (no row-granular op on the
     CG path, PERF_NOTES cost model).
     """
-    from tlfea.constraints import FixedCoefs
+    from tlfea.constraints import DensePins, FixedCoefs
     from tlfea.elements.assembly import node_ref
 
     bnd = system.pallas.banded
@@ -831,6 +825,11 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
         # row-granular scatter-add of the flat path.
         pinmask = jnp.zeros((g.shape[0], 1), dtype).at[cons.idx].set(1.0)
         pin_lin = dt * rho * pinmask
+    elif isinstance(cons, DensePins):
+        # Already dense: no scatter, trace-safe inside while_loop nests.
+        c = cons.eval_c_u(u, x_ref)
+        g = g + dt * cons.mask.astype(dtype) * (lam_dual.astype(dtype) + rho * c)
+        pin_lin = dt * rho * cons.mask.astype(dtype)
     g = g - f_ext
 
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)

@@ -35,11 +35,55 @@ try:  # Pallas requires a TPU (or interpreter mode); import lazily-safe.
 except Exception:  # pragma: no cover
     PALLAS_OK = False
 
-__all__ = ["element_contrib", "prepare_tp", "PALLAS_OK"]
+__all__ = ["element_contrib", "prepare_tp", "tile_material", "PALLAS_OK"]
 
 SUB, LANE = 8, 128
 EBLK = SUB * LANE  # elements per grid block
 SYM6 = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]  # packed-symmetric
+
+
+# --- 3x3-of-tiles algebra helpers (each entry is an (8,128) tile) ----------
+
+
+def _mm(A, B):  # A B
+    return [
+        [A[i][0] * B[0][j] + A[i][1] * B[1][j] + A[i][2] * B[2][j] for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def _mtm(A, B):  # A^T B
+    return [
+        [A[0][i] * B[0][j] + A[1][i] * B[1][j] + A[2][i] * B[2][j] for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def _mmT(A, B):  # A B^T
+    return [
+        [A[i][0] * B[j][0] + A[i][1] * B[j][1] + A[i][2] * B[j][2] for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def _madd(*Ms):
+    return [[sum(M[i][j] for M in Ms) for j in range(3)] for i in range(3)]
+
+
+def _mscale(M, s):
+    return [[M[i][j] * s for j in range(3)] for i in range(3)]
+
+
+def _mT(M):
+    return [[M[j][i] for j in range(3)] for i in range(3)]
+
+
+def _tr(M):
+    return M[0][0] + M[1][1] + M[2][2]
+
+
+def _ddot(A, B):  # A : B
+    return sum(A[i][j] * B[i][j] for i in range(3) for j in range(3))
 
 
 def _svk_stress_rows(Du, Fdot, lam, mu, eta, lam_d):
@@ -148,6 +192,294 @@ def _svk_stress_tangent_rows(Du, dF, Fdot, dFdot, lam, mu, eta, lam_d):
     return madd(mm(dF, S0), dS, mm(Du, dS))
 
 
+class _SVKTile:
+    """St. Venant-Kirchhoff tile algebra (`materials/svk.py`, reference
+    `lib_src/materials/SVK.cuh`). Prep cache per QP: Du (9 rows), total
+    second Piola S0 (9), velocity gradient Fd (9, damped only)."""
+
+    name = "svk"
+
+    def __init__(self, material):
+        self.lam = float(material.lam)
+        self.mu = float(material.mu)
+        self.eta = float(material.eta_damp)
+        self.lam_d = float(material.lam_damp)
+        self.damped = (self.eta != 0.0) or (self.lam_d != 0.0)
+        self.prep_rows = 27 if self.damped else 18
+
+    def primal(self, Du, Fd, put=None):
+        """Total first Piola from Du = F - I (and Fd when damped); `put`
+        (local prep row, tile) caches the Hv-side primal state."""
+        P, S0 = _svk_stress_rows(Du, Fd, self.lam, self.mu, self.eta, self.lam_d)
+        if put is not None:
+            for i in range(3):
+                for j in range(3):
+                    put(i * 3 + j, Du[i][j])
+                    put(9 + i * 3 + j, S0[i][j])
+                    if self.damped:
+                        put(18 + i * 3 + j, Fd[i][j])
+        return P
+
+    def tangent(self, Du, dF, Fd, dFd):
+        """Exact dP for arbitrary directions (dF, dFd) at primal (Du, Fd)."""
+        return _svk_stress_tangent_rows(
+            Du, dF, Fd, dFd, self.lam, self.mu, self.eta, self.lam_d
+        )
+
+    def hv(self, G, at, dt):
+        """dP along the Newton direction chain dx = dt p (dF = dt G,
+        dFd = G, G the contraction of p), with the primal read from the prep
+        cache `at(local row)` — the specialized form that needs only ONE
+        gradient contraction per Hv (see `_hv_body` docstring)."""
+        lam, mu, eta, lam_d = self.lam, self.mu, self.eta, self.lam_d
+        Du = [[at(i * 3 + j) for j in range(3)] for i in range(3)]
+        S0 = [[at(9 + i * 3 + j) for j in range(3)] for i in range(3)]
+        Fd = (
+            [[at(18 + i * 3 + j) for j in range(3)] for i in range(3)]
+            if self.damped
+            else None
+        )
+
+        # sym2 = (G + G^T + G^T Du + Du^T G)/2 — shared by dE and dEdot.
+        sym2 = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                s = G[i][j] + G[j][i]
+                for k in range(3):
+                    s = s + G[k][i] * Du[k][j] + Du[k][i] * G[k][j]
+                sym2[i][j] = 0.5 * s
+        tr_sym2 = sym2[0][0] + sym2[1][1] + sym2[2][2]
+
+        # dS = dt (lam tr I + 2 mu) sym2  [elastic]
+        dS = [[(2.0 * mu * dt) * sym2[i][j] for j in range(3)] for i in range(3)]
+        for i in range(3):
+            dS[i][i] = dS[i][i] + (lam * dt) * tr_sym2
+
+        if self.damped:
+            # dEdot = sym2 + dt (Fd^T G + G^T Fd)/2
+            trX = None
+            for i in range(3):
+                for j in range(3):
+                    xx = sum(Fd[k][i] * G[k][j] + G[k][i] * Fd[k][j] for k in range(3))
+                    dEd = sym2[i][j] + (0.5 * dt) * xx
+                    dS[i][j] = dS[i][j] + (2.0 * eta) * dEd
+                    if i == j:
+                        trX = dEd if trX is None else trX + dEd
+            for i in range(3):
+                dS[i][i] = dS[i][i] + lam_d * trX
+
+        # dP = dt G S0 + dS + Du dS
+        dP = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                s = dS[i][j]
+                for k in range(3):
+                    s = s + dt * G[i][k] * S0[k][j] + Du[i][k] * dS[k][j]
+                dP[i][j] = s
+        return dP
+
+
+class _MRTile:
+    """Compressible Mooney-Rivlin tile algebra (`materials/mooney_rivlin.py`,
+    reference `lib_src/materials/MooneyRivlin.cuh:45-225`), with the exact
+    cancellation-free J - 1 and a hand-derived directional tangent.
+
+    Prep cache per QP: Du (9 rows), G = F^{-T} (9), scalars [J-1, I1, I2]
+    (3), Fd (9, damped only). C, FC, and B = F F^T are RECOMPUTED per Hv
+    (three tile matmuls) instead of cached: these kernels are DMA-bound
+    (PERF_NOTES), so 27 fewer cached rows beat ~80 extra FMAs per QP.
+    """
+
+    name = "mr"
+
+    def __init__(self, material):
+        self.mu10 = float(material.mu10)
+        self.mu01 = float(material.mu01)
+        self.kappa = float(material.kappa)
+        self.eta = float(material.eta_damp)
+        self.lam_d = float(material.lam_damp)
+        self.damped = (self.eta != 0.0) or (self.lam_d != 0.0)
+        self.prep_rows = 30 if self.damped else 21
+
+    def _elastic(self, Du):
+        """Primal quantities from Du = F - I: (F, C, FC, G, I1, I2, Jm1).
+
+        Jm1 = tr(Du) + c2(Du) + det(Du) is the exact J - 1 (no det(F) - 1
+        cancellation; see `MooneyRivlin.first_piola_du`)."""
+        F = [[Du[i][j] for j in range(3)] for i in range(3)]
+        for i in range(3):
+            F[i][i] = F[i][i] + 1.0
+        trDu = Du[0][0] + Du[1][1] + Du[2][2]
+        c2 = (
+            Du[0][0] * Du[1][1] - Du[0][1] * Du[1][0]
+            + Du[0][0] * Du[2][2] - Du[0][2] * Du[2][0]
+            + Du[1][1] * Du[2][2] - Du[1][2] * Du[2][1]
+        )
+        detDu = (
+            Du[0][0] * (Du[1][1] * Du[2][2] - Du[1][2] * Du[2][1])
+            - Du[0][1] * (Du[1][0] * Du[2][2] - Du[1][2] * Du[2][0])
+            + Du[0][2] * (Du[1][0] * Du[2][1] - Du[1][1] * Du[2][0])
+        )
+        Jm1 = trDu + c2 + detDu
+        J = 1.0 + Jm1
+        # Cofactor matrix of F; F^{-T} = cof / J.
+        cof = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            i1, i2 = (i + 1) % 3, (i + 2) % 3
+            for j in range(3):
+                j1, j2 = (j + 1) % 3, (j + 2) % 3
+                cof[i][j] = F[i1][j1] * F[i2][j2] - F[i1][j2] * F[i2][j1]
+        invJ = 1.0 / J
+        G = [[cof[i][j] * invJ for j in range(3)] for i in range(3)]
+        C = _mtm(F, F)
+        I1 = _tr(C)
+        trC2 = sum(C[i][j] * C[j][i] for i in range(3) for j in range(3))
+        I2 = 0.5 * (I1 * I1 - trC2)
+        FC = _mm(F, C)
+        return F, C, FC, G, I1, I2, Jm1
+
+    def _viscous_S(self, F, Fd):
+        """Kelvin-Voigt second Piola S_v = 2 eta Edot + lam_d tr(Edot) I,
+        Edot = sym(Fd^T F) (`assembly.viscous_piola` convention)."""
+        X = _mtm(Fd, F)
+        Ed = [[0.5 * (X[i][j] + X[j][i]) for j in range(3)] for i in range(3)]
+        trEd = _tr(Ed)
+        Sv = [[(2.0 * self.eta) * Ed[i][j] for j in range(3)] for i in range(3)]
+        for i in range(3):
+            Sv[i][i] = Sv[i][i] + self.lam_d * trEd
+        return Sv
+
+    def primal(self, Du, Fd, put=None):
+        F, C, FC, G, I1, I2, Jm1 = self._elastic(Du)
+        J = 1.0 + Jm1
+        J13 = jnp.cbrt(J)
+        Jm23 = 1.0 / (J13 * J13)
+        t1 = (2.0 * self.mu10) * Jm23
+        t2 = (2.0 * self.mu01) * (Jm23 * Jm23)
+        t3 = self.kappa * Jm1 * J
+        c1 = I1 * (1.0 / 3.0)
+        c2 = I2 * (2.0 / 3.0)
+        P = [
+            [
+                t1 * (F[i][j] - c1 * G[i][j])
+                + t2 * (I1 * F[i][j] - FC[i][j] - c2 * G[i][j])
+                + t3 * G[i][j]
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        if self.damped:
+            P = _madd(P, _mm(F, self._viscous_S(F, Fd)))
+        if put is not None:
+            for i in range(3):
+                for j in range(3):
+                    put(i * 3 + j, Du[i][j])
+                    put(9 + i * 3 + j, G[i][j])
+                    if self.damped:
+                        put(21 + i * 3 + j, Fd[i][j])
+            put(18, Jm1)
+            put(19, I1)
+            put(20, I2)
+        return P
+
+    def _dP(self, F, C, FC, G, I1, I2, Jm1, dF, Fd, dFd, Sv):
+        """Exact directional derivative of the total first Piola.
+
+        Elastic part: with s = G : dF (= tr(F^{-1} dF), so dJ = J s),
+          dG   = -G dF^T G
+          dI1  = 2 F : dF;  dI2 = 2 (I1 F - FC) : dF
+          dFC  = dF C + F dF^T F + (F F^T) dF
+          dt1  = -(2/3) t1 s;  dt2 = -(4/3) t2 s;  dt3 = kappa (2J-1) J s
+          dP   = dt1 T1 + t1 dT1 + dt2 T2 + t2 dT2 + dt3 G + t3 dG
+        with T1 = F - (I1/3) G, T2 = I1 F - FC - (2 I2/3) G.
+        Viscous part: dP += dF S_v + F dS_v, dS_v from
+        dEdot = sym(dFd^T F + Fd^T dF)."""
+        J = 1.0 + Jm1
+        s = _ddot(G, dF)
+        dG = _mscale(_mm(G, _mtm(dF, G)), -1.0)
+        FdotdF = _ddot(F, dF)
+        dI1 = 2.0 * FdotdF
+        dI2 = 2.0 * (I1 * FdotdF - _ddot(FC, dF))
+        B = _mmT(F, F)
+        dFC = _madd(_mm(dF, C), _mm(F, _mtm(dF, F)), _mm(B, dF))
+        J13 = jnp.cbrt(J)
+        Jm23 = 1.0 / (J13 * J13)
+        t1 = (2.0 * self.mu10) * Jm23
+        t2 = (2.0 * self.mu01) * (Jm23 * Jm23)
+        t3 = self.kappa * Jm1 * J
+        dt1 = (-2.0 / 3.0) * t1 * s
+        dt2 = (-4.0 / 3.0) * t2 * s
+        dt3 = self.kappa * (2.0 * J - 1.0) * J * s
+        c1 = I1 * (1.0 / 3.0)
+        c2 = I2 * (2.0 / 3.0)
+        dc1 = dI1 * (1.0 / 3.0)
+        dc2 = dI2 * (2.0 / 3.0)
+        dP = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                T1 = F[i][j] - c1 * G[i][j]
+                dT1 = dF[i][j] - dc1 * G[i][j] - c1 * dG[i][j]
+                T2 = I1 * F[i][j] - FC[i][j] - c2 * G[i][j]
+                dT2 = (
+                    dI1 * F[i][j] + I1 * dF[i][j] - dFC[i][j]
+                    - dc2 * G[i][j] - c2 * dG[i][j]
+                )
+                dP[i][j] = (
+                    dt1 * T1 + t1 * dT1 + dt2 * T2 + t2 * dT2
+                    + dt3 * G[i][j] + t3 * dG[i][j]
+                )
+        if self.damped:
+            X = _madd(_mtm(dFd, F), _mtm(Fd, dF))
+            dEd = [[0.5 * (X[i][j] + X[j][i]) for j in range(3)] for i in range(3)]
+            trdEd = _tr(dEd)
+            dSv = [[(2.0 * self.eta) * dEd[i][j] for j in range(3)] for i in range(3)]
+            for i in range(3):
+                dSv[i][i] = dSv[i][i] + self.lam_d * trdEd
+            dP = _madd(dP, _mm(dF, Sv), _mm(F, dSv))
+        return dP
+
+    def tangent(self, Du, dF, Fd, dFd):
+        F, C, FC, G, I1, I2, Jm1 = self._elastic(Du)
+        Sv = self._viscous_S(F, Fd) if self.damped else None
+        return self._dP(F, C, FC, G, I1, I2, Jm1, dF, Fd, dFd, Sv)
+
+    def hv(self, Gp, at, dt):
+        """dP along dx = dt p (dF = dt Gp, dFd = Gp) from the prep cache."""
+        Du = [[at(i * 3 + j) for j in range(3)] for i in range(3)]
+        G = [[at(9 + i * 3 + j) for j in range(3)] for i in range(3)]
+        Jm1, I1, I2 = at(18), at(19), at(20)
+        Fd = (
+            [[at(21 + i * 3 + j) for j in range(3)] for i in range(3)]
+            if self.damped
+            else None
+        )
+        F = [[Du[i][j] for j in range(3)] for i in range(3)]
+        for i in range(3):
+            F[i][i] = F[i][i] + 1.0
+        C = _mtm(F, F)
+        FC = _mm(F, C)
+        dF = _mscale(Gp, dt)
+        Sv = self._viscous_S(F, Fd) if self.damped else None
+        return self._dP(F, C, FC, G, I1, I2, Jm1, dF, Fd, Gp, Sv)
+
+
+def tile_material(material):
+    """Tile-level (Pallas) algebra for a material pytree, or raise ValueError.
+
+    The returned object is a static kernel-build-time parameter (all floats):
+    primal(Du, Fd, put), tangent(Du, dF, Fd, dFd), hv(G, at, dt),
+    prep_rows/damped metadata."""
+    from tlfea.materials import SVK, MooneyRivlin
+
+    if isinstance(material, SVK):
+        return _SVKTile(material)
+    if isinstance(material, MooneyRivlin):
+        return _MRTile(material)
+    raise ValueError(
+        f"no Pallas tile algebra for material {type(material).__name__}"
+    )
+
+
 def _center(get, S, tmask):
     """Element-local centering of a per-slot channel accessor (see
     ElementBatch.trans_mask): returns centered (8,128)-tile values per
@@ -184,7 +516,7 @@ def _contract(vals, gn, q, S):
     return M
 
 
-def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d, damped, tangent, tmask=None):
+def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, mops, tangent, tmask=None):
     """Shared kernel body. In tangent mode, pe carries tangents and gN/dV/Me
     are the same static arrays; Du/Fdot of the PRIMAL are recomputed from the
     primal half of pe (rows S*9..S*18). Positions arrive as DISPLACEMENTS
@@ -192,6 +524,7 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d,
     ElementBatch.x_ref), so Du = sum_a u_a x grad_N_a needs no reference
     loads at all. Tangents of u contribute dF directly."""
     W = 18 if tangent else 9
+    damped = mops.damped
 
     def pget(a, c):  # (8,128) tile for slot a, channel c of the leading half
         return pe_ref[a * W + c]
@@ -221,9 +554,9 @@ def _body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref, *, Q, S, lam, mu, eta, lam_d,
         Fdp = _contract(vp, gn, q, S) if (tangent and damped) else None
 
         if tangent:
-            P = _svk_stress_tangent_rows(Fp, F, Fdp, Fd, lam, mu, eta, lam_d)
+            P = mops.tangent(Fp, F, Fdp, Fd)
         else:
-            P, _ = _svk_stress_rows(F, Fd, lam, mu, eta, lam_d)
+            P = mops.primal(F, Fd)
 
         w = dV_ref[q]
         for a in range(S):
@@ -405,26 +738,21 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False, tpd
 
     pe_T: (S*9, E_pad//LANE, LANE) element-transposed packed [x|v|dv] values.
     out_T: (S*3, E_pad//LANE, LANE).
-    Only SVK (+ Kelvin-Voigt) is supported; callers fall back to the XLA path
-    for other materials.
+    Materials with a tile algebra (`tile_material`: SVK, Mooney-Rivlin, each
+    + Kelvin-Voigt) are supported; callers fall back to the XLA path for
+    others.
     """
     if tpd is None:
         tpd = prepare_tp(elems, dtype=dtype)
     Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
     n_blocks = E_pad // EBLK
-    lam = float(material.lam)
-    mu = float(material.mu)
-    eta = float(material.eta_damp)
-    lam_d = float(material.lam_damp)
-    damped = (eta != 0.0) or (lam_d != 0.0)
+    mops = tile_material(material)
 
     primal_body = partial(
-        _body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
-        damped=damped, tangent=False, tmask=elems.trans_mask,
+        _body, Q=Q, S=S, mops=mops, tangent=False, tmask=elems.trans_mask,
     )
     tangent_body = partial(
-        _body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
-        damped=damped, tangent=True, tmask=elems.trans_mask,
+        _body, Q=Q, S=S, mops=mops, tangent=True, tmask=elems.trans_mask,
     )
 
     @jax.custom_jvp
@@ -459,17 +787,18 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False, tpd
 
 def _primal_fe(
     pget, gn, dv_at, me_at, prep_write,
-    *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
+    *, Q, S, mops, tmask=None,
 ):
     """Core of the primal contribution + Hv-prep pass: returns the per-slot
     output tiles fe[a][i] (INCLUDING the Me dv/dt mass term) and emits the
     per-QP primal cache through `prep_write(row, tile)`. Shared by the
     flat-layout kernel (`_primal_prep_body`) and the banded fused kernel.
 
-    pget(a, c): packed [u|v|dv] channel tile (c in 0..8); prep row layout per
-    q: [Du(9) | S0(9) | Fd(9 if damped)].
+    pget(a, c): packed [u|v|dv] channel tile (c in 0..8); the per-q prep row
+    layout is the material's (`tile_material`; `mops.prep_rows` rows).
     """
-    PR = 27 if damped else 18
+    PR = mops.prep_rows
+    damped = mops.damped
     fe = [[None] * 3 for _ in range(S)]
     # pe position channels carry displacements u = x - x_ref; centered.
     uc = _center(pget, S, tmask)
@@ -478,14 +807,9 @@ def _primal_fe(
         Du = _contract(uc, gn, q, S)
         Fd = _contract(vc, gn, q, S) if damped else None
 
-        P, S0 = _svk_stress_rows(Du, Fd, lam, mu, eta, lam_d)
-
-        for i in range(3):
-            for j in range(3):
-                prep_write(q * PR + i * 3 + j, Du[i][j])
-                prep_write(q * PR + 9 + i * 3 + j, S0[i][j])
-                if damped:
-                    prep_write(q * PR + 18 + i * 3 + j, Fd[i][j])
+        P = mops.primal(
+            Du, Fd, put=lambda r, t, base=q * PR: prep_write(base + r, t)
+        )
 
         w = dv_at(q)
         for a in range(S):
@@ -504,15 +828,15 @@ def _primal_fe(
 
 def _primal_prep_body(
     pe_ref, gN_ref, dV_ref, Me_ref, out_ref, prep_ref,
-    *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
+    *, Q, S, mops, tmask=None,
 ):
     """Primal contribution + Hv precomputation in one pass (flat layout).
 
     Identical physics to `_body(tangent=False)`; additionally stores, per
-    quadrature point, the primal displacement gradient Du, the total second
-    Piola S0 (elastic + viscous), and (if damped) the velocity gradient Fd —
-    everything the specialized Hv tangent kernel (`_hv_body`) needs, so CG
-    iterations never recompute primal state.
+    quadrature point, the material's primal cache (e.g. Du + total second
+    Piola for SVK; Du, F^{-T}, invariants for Mooney-Rivlin) — everything
+    the specialized Hv tangent kernel (`_hv_body`) needs, so CG iterations
+    never recompute primal state.
     """
 
     def prep_write(row, tile):
@@ -524,8 +848,7 @@ def _primal_prep_body(
         lambda q: dV_ref[q],
         lambda a, b: Me_ref[a * S + b],
         prep_write,
-        Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
-        tmask=tmask,
+        Q=Q, S=S, mops=mops, tmask=tmask,
     )
     for a in range(S):
         for i in range(3):
@@ -534,7 +857,7 @@ def _primal_prep_body(
 
 def _hv_fe(
     pget, prep_at, gn, dv_at, me_at, dt,
-    *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
+    *, Q, S, mops, tmask=None,
 ):
     """Core of the specialized Hessian-vector product: returns the per-slot
     element output tiles fe[a][i] (INCLUDING the (1/dt) Me p mass term) from
@@ -542,59 +865,17 @@ def _hv_fe(
     banded fused-gather/scatter kernel (`pallas_banded`) share one algebra.
 
     pget(a, c): gathered direction tile; prep_at(row): per-QP primal cache
-    row; gn(q, a, j) / dv_at(q) / me_at(a, b): static element data tiles.
+    row (material-defined layout, see `tile_material`); gn(q, a, j) /
+    dv_at(q) / me_at(a, b): static element data tiles.
     """
     inv_dt = 1.0 / dt
-    PR = 27 if damped else 18
+    PR = mops.prep_rows
 
     fe = [[None] * 3 for _ in range(S)]
     pc = _center(pget, S, tmask)  # CG directions center exactly too
     for q in range(Q):
-        Du = [[prep_at(q * PR + i * 3 + j) for j in range(3)] for i in range(3)]
-        S0 = [[prep_at(q * PR + 9 + i * 3 + j) for j in range(3)] for i in range(3)]
-        Fd = (
-            [[prep_at(q * PR + 18 + i * 3 + j) for j in range(3)] for i in range(3)]
-            if damped
-            else None
-        )
         G = _contract(pc, gn, q, S)
-
-        # sym2 = (G + G^T + G^T Du + Du^T G)/2 — shared by dE and dEdot.
-        sym2 = [[None] * 3 for _ in range(3)]
-        for i in range(3):
-            for j in range(3):
-                s = G[i][j] + G[j][i]
-                for k in range(3):
-                    s = s + G[k][i] * Du[k][j] + Du[k][i] * G[k][j]
-                sym2[i][j] = 0.5 * s
-        tr_sym2 = sym2[0][0] + sym2[1][1] + sym2[2][2]
-
-        # dS = dt (lam tr I + 2 mu) sym2  [elastic]
-        dS = [[(2.0 * mu * dt) * sym2[i][j] for j in range(3)] for i in range(3)]
-        for i in range(3):
-            dS[i][i] = dS[i][i] + (lam * dt) * tr_sym2
-
-        if damped:
-            # dEdot = sym2 + dt (Fd^T G + G^T Fd)/2
-            trX = None
-            for i in range(3):
-                for j in range(3):
-                    xx = sum(Fd[k][i] * G[k][j] + G[k][i] * Fd[k][j] for k in range(3))
-                    dEd = sym2[i][j] + (0.5 * dt) * xx
-                    dS[i][j] = dS[i][j] + (2.0 * eta) * dEd
-                    if i == j:
-                        trX = dEd if trX is None else trX + dEd
-            for i in range(3):
-                dS[i][i] = dS[i][i] + lam_d * trX
-
-        # dP = dt G S0 + dS + Du dS
-        dP = [[None] * 3 for _ in range(3)]
-        for i in range(3):
-            for j in range(3):
-                s = dS[i][j]
-                for k in range(3):
-                    s = s + dt * G[i][k] * S0[k][j] + Du[i][k] * dS[k][j]
-                dP[i][j] = s
+        dP = mops.hv(G, lambda r, base=q * PR: prep_at(base + r), dt)
 
         w = dv_at(q)
         for a in range(S):
@@ -614,7 +895,7 @@ def _hv_fe(
 
 def _hv_body(
     dt_ref, pT_ref, prep_ref, gN_ref, dV_ref, Me_ref, out_ref,
-    *, Q, S, lam, mu, eta, lam_d, damped, tmask=None,
+    *, Q, S, mops, tmask=None,
 ):
     """Specialized Hessian-vector product element kernel (flat layout).
 
@@ -628,9 +909,10 @@ def _hv_body(
         dP    = dt G S0 + (I + Du) dS
         out_a = sum_q dP gradN_qa dV_q + (1/dt) Me p
 
-    Exactly the linearization `_svk_stress_tangent_rows` computes, but with
-    the primal (Du, S0, Fd) read from the prep buffer instead of recomputed
-    per CG iteration, and only ONE gradient contraction (G) instead of four.
+    Exactly the linearization `mops.tangent` computes (shown above for SVK),
+    but with the primal state read from the prep buffer instead of
+    recomputed per CG iteration, and only ONE gradient contraction (G)
+    instead of four.
     Inputs: dt (1,1) SMEM scalar; pT (S*3 rows) the gathered raw direction.
     """
     dt = dt_ref[0, 0]
@@ -641,8 +923,7 @@ def _hv_body(
         lambda q: dV_ref[q],
         lambda a, b: Me_ref[a * S + b],
         dt,
-        Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
-        tmask=tmask,
+        Q=Q, S=S, mops=mops, tmask=tmask,
     )
     for a in range(S):
         for i in range(3):
@@ -651,7 +932,7 @@ def _hv_body(
 
 def make_hv_kernels(elems, material, dtype=np.float32, interpret=False, tpd=None):
     """Build (primal_prep_fn, hv_fn, n_prep_rows) for the specialized
-    Newton-PCG Hessian-vector path (SVK + Kelvin-Voigt).
+    Newton-PCG Hessian-vector path (any `tile_material`, + Kelvin-Voigt).
 
     primal_prep_fn(pe_T (S*9, B, L)) -> (out_T (S*3, B, L), prep_T (PR, B, L))
     hv_fn(dt (1,1), p_T (S*3, B, L), prep_T) -> dout_T (S*3, B, L)
@@ -660,20 +941,14 @@ def make_hv_kernels(elems, material, dtype=np.float32, interpret=False, tpd=None
         tpd = prepare_tp(elems, dtype=dtype)
     Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
     n_blocks = E_pad // EBLK
-    lam = float(material.lam)
-    mu = float(material.mu)
-    eta = float(material.eta_damp)
-    lam_d = float(material.lam_damp)
-    damped = (eta != 0.0) or (lam_d != 0.0)
-    PR = Q * (27 if damped else 18)
+    mops = tile_material(material)
+    PR = Q * mops.prep_rows
 
     pp_body = partial(
-        _primal_prep_body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d,
-        damped=damped, tmask=elems.trans_mask,
+        _primal_prep_body, Q=Q, S=S, mops=mops, tmask=elems.trans_mask,
     )
     hv_body = partial(
-        _hv_body, Q=Q, S=S, lam=lam, mu=mu, eta=eta, lam_d=lam_d, damped=damped,
-        tmask=elems.trans_mask,
+        _hv_body, Q=Q, S=S, mops=mops, tmask=elems.trans_mask,
     )
 
     def primal_prep_fn(pe_T):
@@ -735,10 +1010,10 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system, u_prev=None):
     primal recompute, no tangent/primal concat (the round-1 custom-jvp path
     gathered 9 channels and re-derived F, Fdot per iteration).
 
-    FixedCoefs (or no) constraints only; the caller falls back to
-    `jax.linearize(grad_L)` otherwise. Matches `grad_L` exactly.
+    FixedCoefs / DensePins (or no) constraints only; the caller falls back
+    to `jax.linearize(grad_L)` otherwise. Matches `grad_L` exactly.
     """
-    from tlfea.constraints import FixedCoefs
+    from tlfea.constraints import DensePins, FixedCoefs
     from tlfea.elements.assembly import node_ref
 
     elems = system.elems
@@ -774,6 +1049,13 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system, u_prev=None):
         jnp.zeros((n, 3), dtype=acc).at[idx].add(vals.astype(acc))
         - f_ext.astype(acc)
     ).astype(dtype)
+    pin_lin = None
+    if isinstance(cons, DensePins):
+        # Dense pin algebra (no scatter): gradient dt*mask*(lam + rho c),
+        # Hv dt^2 rho mask * p.
+        c = cons.eval_c_u(u, x_ref)
+        g = g + dt * cons.mask.astype(dtype) * (lam_dual.astype(dtype) + rho * c)
+        pin_lin = (dt * dt * rho) * cons.mask.astype(dtype)
 
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
 
@@ -790,9 +1072,12 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system, u_prev=None):
             dvals = jnp.concatenate(
                 [dvals, (dt * dt * rho) * p[cons.idx]], axis=0
             )
-        return (
+        out = (
             jnp.zeros((n, 3), dtype=acc).at[didx].add(dvals.astype(acc))
         ).astype(dtype)
+        if pin_lin is not None:
+            out = out + pin_lin * p
+        return out
 
     return g, hvp
 
@@ -822,7 +1107,7 @@ class PallasContrib:
 def with_pallas(system, dtype=np.float32, interpret=False, banded=False,
                 banded_hv_dtype=None):
     """Return a copy of `system` that routes its residual through the Pallas
-    element kernel (SVK materials only).
+    element kernel (materials with a tile algebra: SVK, Mooney-Rivlin).
 
     banded: "auto" additionally builds the banded fused gather/kernel/scatter
     Hv + primal kernels (`tlfea.ops.pallas_banded`) when the mesh's node
@@ -835,8 +1120,7 @@ def with_pallas(system, dtype=np.float32, interpret=False, banded=False,
     """
     from tlfea.materials import SVK
 
-    if not isinstance(system.material, SVK):
-        raise ValueError("Pallas element kernel currently supports SVK only")
+    tile_material(system.material)  # raises ValueError if unsupported
     if banded:
         # Pre-sort elements by min node so the banded kernels can SHARE the
         # canonical static tables below (element order is semantically
@@ -853,9 +1137,16 @@ def with_pallas(system, dtype=np.float32, interpret=False, banded=False,
     contrib, _ = make_element_contrib(
         system.elems, system.material, dtype=dtype, interpret=interpret, tpd=tpd
     )
-    pfn, _ = make_precond_blocks(
-        system.elems, system.material, dtype=dtype, interpret=interpret, tpd=tpd
-    )
+    # The closed-form diag-block preconditioner kernel is SVK-specific;
+    # other materials use the XLA `tangent_diag_block` fallback in
+    # `solvers.common.precond_blocks` (built once per Newton step, so the
+    # XLA path is off the CG critical path).
+    pfn = None
+    if isinstance(system.material, SVK):
+        pfn, _ = make_precond_blocks(
+            system.elems, system.material, dtype=dtype, interpret=interpret,
+            tpd=tpd,
+        )
     prep_fn, hv_fn, _ = make_hv_kernels(
         system.elems, system.material, dtype=dtype, interpret=interpret, tpd=tpd
     )

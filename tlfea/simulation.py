@@ -98,6 +98,7 @@ class Simulation:
 
     def step(self) -> dict:
         f_ext = self.base_f_ext
+        overflow = None
         if self.collision is not None:
             self._check_overflow()
             f_col, patches, overflow = self.collision.step(
@@ -107,6 +108,12 @@ class Simulation:
             self.last_patches = patches
             self._pending_overflow = (overflow, self.step_count)
         self.state, diag = self.solver_step(self.system, self.state, f_ext)
+        if overflow is not None:
+            # Device-side flag, no host sync: an overflowed step ran with
+            # dropped candidate pairs, so its physics is suspect — tests and
+            # benches assert zero-overflow runs via this key (the deferred
+            # `_check_overflow` warning alone was write-only telemetry).
+            diag["collision_overflow"] = overflow
         self.step_count += 1
         self.last_diag = diag
         return diag
@@ -134,6 +141,28 @@ class Simulation:
         self.system = self.system.replace(
             constraints=cons.with_targets(jnp.asarray(target))
         )
+
+    def set_pinned(self, idx, pinned: bool = True) -> None:
+        """Change WHICH coefficients are pinned mid-run (the reference's
+        `UpdateNodalFixed`, `FEAT10Data.cu:751-832`). Requires `DensePins`
+        constraints (dense mask => fixed shapes => no retrace); newly pinned
+        coefficients hold their CURRENT positions. The matching duals are
+        zeroed so stale multipliers from a previous pinning epoch don't
+        kick the node (dense lam shares the mask's indexing)."""
+        from tlfea.constraints import DensePins
+
+        cons = self.system.constraints
+        if not isinstance(cons, DensePins):
+            raise ValueError(
+                "set_pinned requires DensePins constraints (FixedCoefs has "
+                "static membership — rebuild the system, or switch to "
+                "DensePins.from_indices)"
+            )
+        self.system = self.system.replace(
+            constraints=cons.pinning(idx, pinned, x0=self.state.x)
+        )
+        idx = np.asarray(idx)
+        self.state = self.state.replace(lam=self.state.lam.at[idx].set(0.0))
 
     # -- checkpoint / resume ---------------------------------------------
     def save_state(self, path: str) -> None:

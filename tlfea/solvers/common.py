@@ -146,7 +146,11 @@ def grad_L(
     absolute x = x_prev + dt*v first would round dt*v increments below
     eps*|x| away in f32 and stall Newton on stiff problems (see
     ElementBatch.x_ref). u_prev defaults to x_prev - x_ref; pass the stored
-    StepState.u for the full displacement-resolution state."""
+    StepState.u for the full displacement-resolution state.
+
+    Constraint folding: FixedCoefs rides the single element scatter-add
+    (extra rows); DensePins is pure dense math (apply_jt is a mask
+    multiply); LinearConstraints applies J^T via its own scatter."""
     from tlfea.constraints import FixedCoefs
 
     elems = system.elems

@@ -55,15 +55,23 @@ class NewtonParams:
     # (it's only the iterate's starting point). Set 0.0 to disable.
     predict: jnp.ndarray = 1.0
     # Trust-region-style step bound: rescale each Newton update so
-    # ||dv||_2 <= max_dv (0 = unbounded, the default). The SVK tangent is
-    # INDEFINITE under strong compression (contact onset); CG's
+    # ||dv||_2 <= max_dv (0 = unbounded, the default). Superseded by the
+    # scale-free `ls_max` backtracking safeguard below (kept for
+    # compatibility / A-B experiments; both may be active).
+    max_dv: jnp.ndarray = 0.0
+    # Residual-norm backtracking safeguard (scale-free globalization,
+    # replaces per-scene `max_dv` tuning — VERDICT-r2 item 7). The SVK
+    # tangent is INDEFINITE under strong compression (contact onset); CG's
     # negative-curvature guard stops iterating but still returns the
     # partial step, which can be unboundedly bad — one such step was
     # measured teleporting a self-contact run from vmax 1.5 to 1e19 m/s.
-    # Set to ~10-100x the expected global velocity norm for contact-heavy
-    # scenes. Near the solution updates are small, so a generous bound
-    # never activates and convergence is untouched.
-    max_dv: jnp.ndarray = 0.0
+    # When CG reports it hit non-positive curvature (the only source of
+    # such directions — an SPD solve always yields a descent direction for
+    # ||g||), the update is backtracked: try t = 1, 1/2, ... 2^-(ls_max-1),
+    # accept the first t with ||g(v + t dv)|| <= (1 - 1e-4 t) ||g(v)||,
+    # else take the best t seen. Costs one extra gradient evaluation per
+    # TRIAL, and nothing at all on healthy steps (lax.cond). 0 disables.
+    ls_max: int = struct.field(pytree_node=False, default=8)
     # Eisenstat-Walker adaptive forcing (choice 2): per-Newton-iteration CG
     # tolerance eta_k = clamp(0.9 (||g_k||/||g_{k-1}||)^2, cg_rtol,
     # ew_eta_max). Early Newton iterations then use loose CG solves (SURVEY
@@ -72,7 +80,10 @@ class NewtonParams:
 
 
 def _pcg(hvp, precond, b, rtol, max_iter):
-    """Preconditioned CG for H x = b; returns (x, n_iters, final ||r||).
+    """Preconditioned CG for H x = b; returns (x, n_iters, final ||r||,
+    neg_curv) — neg_curv flags that an H-conjugate direction with
+    non-positive curvature was encountered (indefinite H; the returned x is
+    the partial iterate and needs a globalization safeguard).
 
     hvp: p -> H @ p; precond: r -> M^{-1} r; all over (n_coef, 3) arrays.
     """
@@ -95,12 +106,12 @@ def _pcg(hvp, precond, b, rtol, max_iter):
     tol2 = jnp.maximum(tol2, eps_floor * jnp.maximum(bnorm, 1.0) ** 2)
 
     def cond(carry):
-        _, r, _, _, rz, k = carry
+        _, r, _, _, rz, k, _ = carry
         ok = jnp.logical_and(dot(r, r) > tol2, rz > 0)
         return jnp.logical_and(k < max_iter, ok)
 
     def body(carry):
-        x, r, p, z, rz, k = carry
+        x, r, p, z, rz, k, neg = carry
         hp = hvp(p)
         denom = dot(p, hp)
         # Non-positive curvature (or breakdown): take no step and terminate
@@ -113,10 +124,12 @@ def _pcg(hvp, precond, b, rtol, max_iter):
         rz_new = jnp.where(good, dot(r, z), 0.0)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta * p
-        return (x, r, p, z, rz_new, k + 1)
+        return (x, r, p, z, rz_new, k + 1, jnp.logical_or(neg, ~good))
 
-    x, r, _, _, _, k = jax.lax.while_loop(cond, body, (x0, r0, p0, z0, rz0, 0))
-    return x, k, flat_norm(r)
+    x, r, _, _, _, k, neg = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, z0, rz0, 0, jnp.asarray(False))
+    )
+    return x, k, flat_norm(r), neg
 
 
 def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: System, coarse=None, inv_blocks=None, u_prev=None, bdata=None):
@@ -129,7 +142,7 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     u_prev: stored displacement state (StepState.u) for full f32
     displacement-scale resolution; falls back to x_prev - x_ref.
     """
-    from tlfea.constraints import FixedCoefs
+    from tlfea.constraints import DensePins, FixedCoefs
 
     dt, rho = params.dt, params.rho
 
@@ -143,7 +156,8 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     use_pallas_hv = (
         system.pallas is not None
         and getattr(system.pallas, "hv_fn", None) is not None
-        and (system.constraints is None or isinstance(system.constraints, FixedCoefs))
+        and (system.constraints is None
+             or isinstance(system.constraints, (FixedCoefs, DensePins)))
     )
     # Banded fused path: one Pallas kernel per gradient / Hv, with the
     # gather+scatter inside the kernel (pallas_banded). Preferred when the
@@ -177,6 +191,19 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         )
         pinmask = jnp.zeros((n, 1), v0.dtype).at[cons.idx].set(1.0)
         pin_terms = (dt * (lam_dense - rho * tgt_dense), dt * rho * pinmask)
+    elif use_banded and isinstance(system.constraints, DensePins):
+        # DensePins fields are ALREADY the dense formulation — no scatter
+        # even here, so membership/target updates stay trace-free on the
+        # banded path (the whole point of DensePins; `_cons_closure`
+        # constant-pinning is unnecessary because no indices are traced).
+        from tlfea.elements.assembly import node_ref
+
+        cons = system.constraints
+        x_ref = node_ref(system.elems)
+        mask = cons.mask.astype(v0.dtype)
+        tgt_u = mask * (cons.target - x_ref).astype(v0.dtype)
+        pin_terms = (dt * (mask * lam.astype(v0.dtype) - rho * tgt_u),
+                     dt * rho * mask)
 
     def linearize_g(v):
         if use_banded:
@@ -263,16 +290,16 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         eta = jnp.where(k == 0, emax, eta)
 
         def do_cg(_):
-            dv, it, _r = _pcg(hvp, precond, -g, eta, params.cg_max_iter)
-            return dv, jnp.asarray(it, jnp.int32)
+            dv, it, _r, neg = _pcg(hvp, precond, -g, eta, params.cg_max_iter)
+            return dv, jnp.asarray(it, jnp.int32), neg
 
         def skip(_):
-            return jnp.zeros_like(v), jnp.asarray(0, jnp.int32)
+            return jnp.zeros_like(v), jnp.asarray(0, jnp.int32), jnp.asarray(False)
 
-        dv, cg_iters = jax.lax.cond(conv, skip, do_cg, None)
-        # Bounded step (params.max_dv): rescale pathological CG directions
-        # (indefinite tangent under contact compression) instead of letting
-        # one update teleport the iterate. No-op when max_dv == 0.
+        dv, cg_iters, neg_curv = jax.lax.cond(conv, skip, do_cg, None)
+        # Bounded step (params.max_dv): legacy opt-in rescale. No-op at the
+        # default max_dv == 0 (the ls_max safeguard below is the principled
+        # replacement).
         dv_norm = flat_norm(dv)
         bound_on = params.max_dv > 0
         scale = jnp.where(
@@ -280,7 +307,52 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
             params.max_dv / jnp.maximum(dv_norm, tiny),
             jnp.ones((), dv.dtype),
         )
-        v = v + scale * dv
+        dv = scale * dv
+
+        # Scale-free globalization (NewtonParams.ls_max): a Newton direction
+        # from an SPD solve is always a descent direction for ||g|| — only
+        # when CG encountered NON-POSITIVE curvature (or produced non-finite
+        # values) can the partial step be arbitrarily bad, so only then pay
+        # for a residual-norm backtracking search. lax.cond keeps the search
+        # entirely off the healthy-step execution path.
+        suspicious = jnp.logical_or(neg_curv, ~jnp.isfinite(dv_norm))
+
+        def take_full(vdvg):
+            vv, dvv, _ = vdvg
+            return vv + dvv
+
+        def backtrack(vdvg):
+            vv, dvv, gn0 = vdvg
+            t_min = jnp.asarray(0.5 ** (params.ls_max - 1), vv.dtype)
+
+            def ls_cond(c):
+                t, j, _bt, _bg, done = c
+                return jnp.logical_and(j < params.ls_max, ~done)
+
+            def ls_body(c):
+                t, j, best_t, best_gn, _ = c
+                # Gradient-only evaluation on the fast path (the linearized
+                # hvp half is unused and DCE'd by XLA).
+                gn = flat_norm(linearize_g(vv + t * dvv)[0])
+                better = gn < best_gn  # False for NaN: best_t stays t_min
+                best_t = jnp.where(better, t, best_t)
+                best_gn = jnp.where(better, gn, best_gn)
+                done = gn <= (1.0 - 1e-4 * t) * gn0
+                return (t * 0.5, j + 1, best_t, best_gn, done)
+
+            one = jnp.ones((), vv.dtype)
+            _, _, best_t, _, _ = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (one, jnp.asarray(0, jnp.int32), t_min,
+                 jnp.asarray(jnp.inf, vv.dtype), jnp.asarray(False)),
+            )
+            return vv + best_t * dvv
+
+        if params.ls_max > 0:
+            v = jax.lax.cond(suspicious, backtrack, take_full,
+                             (v, dv, norm_g_new))
+        else:
+            v = v + dv
         k = k + jnp.where(conv, 0, 1)
         return (v, k, conv, norm_g_new, norm_g0, norm_g_new, cg_total + cg_iters, hist)
 
@@ -310,11 +382,12 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
         v_init = state.v + params.predict * state.dv
 
     def outer_body(carry):
-        v, v_prev, lam, k, _, newton_tot, cg_tot, _h, _ok = carry
+        v, v_prev, lam, k, _, newton_tot, cg_tot, hist_all, _ok = carry
         v, n_it, norm_g, cg_it, hist = _newton_inner(
             v, x_prev, v_prev, lam, f_ext, params, system, coarse, inv_blocks,
             u_prev=u_prev, bdata=bdata,
         )
+        hist_all = hist_all.at[k].set(hist)  # per-outer row, nothing dropped
         # Inner loop exits either converged or at the iteration budget; a
         # budget exit means v is NOT the backward-Euler solution this step.
         ok = n_it < params.max_inner
@@ -326,14 +399,15 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
             norm_c = flat_norm(c)
         else:
             norm_c = jnp.zeros((), dtype=v.dtype)
-        return (v, v_prev, lam, k + 1, norm_c, newton_tot + n_it, cg_tot + cg_it, hist, ok)
+        return (v, v_prev, lam, k + 1, norm_c, newton_tot + n_it, cg_tot + cg_it, hist_all, ok)
 
     def outer_cond(carry):
         _, _, _, k, norm_c, _, _, _, _ = carry
         unconverged = jnp.logical_or(k == 0, norm_c >= params.outer_tol)
         return jnp.logical_and(k < params.max_outer, unconverged)
 
-    hist0 = jnp.full((params.max_inner + 1,), jnp.nan, dtype=state.v.dtype)
+    hist0 = jnp.full((params.max_outer, params.max_inner + 1), jnp.nan,
+                     dtype=state.v.dtype)
     init = (
         v_init, state.v, state.lam, jnp.asarray(0, jnp.int32),
         jnp.asarray(jnp.inf, dtype=state.v.dtype),
@@ -360,7 +434,10 @@ def _step(system: System, state: StepState, params: NewtonParams, f_ext, coarse=
         "newton_iters": newton_tot,
         "cg_iters": cg_tot,
         "norm_c": norm_c,
-        "norm_g_history": hist,  # last outer iteration's per-Newton ||g||
+        # Flattened (max_outer, max_inner+1) per-Newton ||g|| telemetry —
+        # every outer iteration's row, row-major, NaN-padded (the reference
+        # prints these every inner iteration, `SyncedNewton.cu:1065`).
+        "norm_g_history": hist.reshape(-1),
     }
     return new_state, diag
 
