@@ -29,6 +29,19 @@ os.environ.setdefault("TLFEA_NO_X64", "1")  # float32 on TPU
 
 import numpy as np
 
+_T_START = time.monotonic()
+# Per-scale start guard: don't BEGIN a new scale once this much wall-clock
+# has elapsed (the driver runs bench.py under a hard timeout; round 3 hit it
+# mid-100k-compile and recorded NOTHING — rc 124, no JSON). Completed scales
+# are always emitted (see main's incremental printing).
+_BUDGET_S = float(os.environ.get("TLFEA_BENCH_BUDGET", 2400))
+# Round-persistent compile cache INSIDE the repo: /tmp does not survive
+# rounds, so every driver bench started cold (1-7 min per whole-step compile
+# over the axon tunnel). The builder warms this cache during the round; the
+# driver's end-of-round run then reuses it.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "out", "jit_cache")
+
 CONFIGS = {
     "1k": (1.0, 0.25, 0.25, 12, 4, 3),  # 6*12*4*3  = 864 elems
     "10k": (2.0, 0.35, 0.3, 42, 7, 6),  # 6*42*7*6 = 10,584 elems
@@ -151,21 +164,27 @@ def run_scale(name, rollout=20, tol=2.5e-2):
         "cg_per_step": float(np.median(np.asarray(cgit))),
         "vs_target": round(steps_per_sec / target, 4),
     }
-    # MFU / HBM roofline from the analytic kernel cost model (see
-    # tlfea/utils/roofline.py — byte counts follow the banded kernels' DMA
-    # schedule; coarse-precond/XLA-glue traffic excluded, so roofline_pct
-    # is a lower bound on achieved HBM utilization).
-    from tlfea.utils.roofline import V5E_HBM_BPS, V5E_PEAK_FLOPS, step_cost
+    _add_roofline(info, system, wall / rollout)
+    print(f"[{name}] {info}", file=sys.stderr)
+    return info
+
+
+def _add_roofline(info, system, sec):
+    """MFU / HBM roofline from the analytic kernel cost model (see
+    tlfea/utils/roofline.py — byte counts follow the banded kernels' DMA
+    schedule; coarse-precond/XLA-glue traffic excluded, so roofline_pct
+    is a lower bound on achieved HBM utilization). Peaks come from the
+    DETECTED chip generation; the assumed kind is recorded alongside."""
+    from tlfea.utils.roofline import chip_peaks, step_cost
 
     cost = step_cost(system, info["newton_per_step"], info["cg_per_step"])
     if cost is not None:
-        sec = wall / rollout
+        hbm_bps, peak_flops, kind = chip_peaks()
         info["achieved_gbps"] = round(cost["bytes"] / sec / 1e9, 1)
         info["achieved_gflops"] = round(cost["flops"] / sec / 1e9, 1)
-        info["roofline_pct"] = round(100.0 * cost["bytes"] / sec / V5E_HBM_BPS, 1)
-        info["mfu_pct"] = round(100.0 * cost["flops"] / sec / V5E_PEAK_FLOPS, 3)
-    print(f"[{name}] {info}", file=sys.stderr)
-    return info
+        info["roofline_pct"] = round(100.0 * cost["bytes"] / sec / hbm_bps, 1)
+        info["mfu_pct"] = round(100.0 * cost["flops"] / sec / peak_flops, 3)
+        info["chip"] = kind
 
 
 def run_ancf_shell(rollout=20, tol=2.5e-2, nx=28, ny=28):
@@ -252,31 +271,49 @@ def run_ancf_shell(rollout=20, tol=2.5e-2, nx=28, ny=28):
         "cg_per_step": float(np.median(np.asarray(cgit))),
         "vs_target": round(steps_per_sec / target, 4),
     }
-    from tlfea.utils.roofline import V5E_HBM_BPS, V5E_PEAK_FLOPS, step_cost
-
-    cost = step_cost(system, info["newton_per_step"], info["cg_per_step"])
-    if cost is not None:
-        sec = wall / rollout
-        info["achieved_gbps"] = round(cost["bytes"] / sec / 1e9, 1)
-        info["achieved_gflops"] = round(cost["flops"] / sec / 1e9, 1)
-        info["roofline_pct"] = round(100.0 * cost["bytes"] / sec / V5E_HBM_BPS, 1)
-        info["mfu_pct"] = round(100.0 * cost["flops"] / sec / V5E_PEAK_FLOPS, 3)
+    _add_roofline(info, system, wall / rollout)
     print(f"[ancf_shell] {info}", file=sys.stderr)
     return info
+
+
+def _series_json(series):
+    good = {k: v for k, v in series.items() if "error" not in v}
+    if not good:
+        return json.dumps({"metric": "implicit_newton_steps_per_sec",
+                           "value": 0.0, "unit": "steps/s",
+                           "vs_baseline": 0.0, "series": series})
+    head = good.get("10k") or next(iter(good.values()))
+    return json.dumps(
+        {
+            "metric": f"implicit_newton_steps_per_sec_T10_{head['elems']}elem_rollout",
+            "value": head["steps_per_sec"],
+            "unit": "steps/s",
+            "vs_baseline": head["vs_target"],
+            "series": series,
+        }
+    )
 
 
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tlfea_jit_cache")
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Headline scales FIRST (10k, 100k, ancf_shell): if the driver's hard
+    # timeout fires mid-series, the scales that matter are already recorded.
     scales = os.environ.get(
-        "TLFEA_BENCH_SCALES", "1k,10k,10k_tight,100k,ancf_shell"
+        "TLFEA_BENCH_SCALES", "10k,100k,ancf_shell,1k,10k_tight"
     ).split(",")
     series = {}
     for name in scales:
         name = name.strip()
+        elapsed = time.monotonic() - _T_START
+        if elapsed > _BUDGET_S:
+            series[name] = {"error": f"skipped: bench budget exhausted "
+                                     f"({elapsed:.0f}s > {_BUDGET_S:.0f}s)"}
+            continue
         try:
             if name == "ancf_shell":
                 series[name] = run_ancf_shell()
@@ -292,20 +329,12 @@ def main():
             print(f"[{name}] FAILED: {type(e).__name__}: {str(e)[:300]}",
                   file=sys.stderr)
             series[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        # Incremental partial record on stderr (shows up in the driver's
+        # captured tail even when the hard timeout kills the process before
+        # the final stdout line).
+        print("PARTIAL " + _series_json(series), file=sys.stderr, flush=True)
 
-    good = {k: v for k, v in series.items() if "error" not in v}
-    head = good.get("10k") or next(iter(good.values()))
-    print(
-        json.dumps(
-            {
-                "metric": f"implicit_newton_steps_per_sec_T10_{head['elems']}elem_rollout",
-                "value": head["steps_per_sec"],
-                "unit": "steps/s",
-                "vs_baseline": head["vs_target"],
-                "series": series,
-            }
-        )
-    )
+    print(_series_json(series))
 
 
 if __name__ == "__main__":

@@ -49,8 +49,13 @@ def main():
         .add("damping", 1e2, "Kelvin-Voigt damping")
         .add("friction", 0.4, "Coulomb friction")
         .add("modulus", 1e6, "hydroelastic modulus")
-        .add("dem_kn", 1e6, "DEM normal stiffness (collision=deme)")
-        .add("dem_cn", 1e2, "DEM normal damping (collision=deme)")
+        .add("dem_E", 2e6, "DEM contact Young's modulus (collision=deme; "
+                           "reference default DEME_CONTACT_E=2e6)")
+        .add("dem_nu", 0.3, "DEM contact Poisson ratio (DEME_CONTACT_NU)")
+        .add("dem_cor", 0.0, "DEM contact restitution (DEME_CONTACT_COR)")
+        .add("dem_kn", 0.0, "raw DEM normal stiffness override (0 = derive "
+                            "from dem_E/dem_nu/dem_cor)")
+        .add("dem_cn", 0.0, "raw DEM normal damping override")
         .add("rho_alm", 1e8, "ALM penalty")
         .add("drop_height", 0.05, "initial gap above the floor")
         .add("window", 256, "broadphase window")
@@ -138,12 +143,35 @@ def main():
         # Native on-device DEM (DEM-Engine-style sphere contacts): every
         # surface vertex carries a contact sphere; spring-dashpot +
         # regularized Coulomb friction between meshes.
-        from tlfea.collision.dem import DemParams, NodeSphereDem
-
-        collision = NodeSphereDem(
-            nodes, [scene.surface_triangles(mid) for mid in range(len(mm.instances))]
+        from tlfea.collision.dem import (
+            DemParams, NodeSphereDem, dem_params_from_material,
+            node_sphere_radii,
         )
-        col_params = DemParams(kn=args["dem_kn"], cn=args["dem_cn"], mu=args["friction"])
+
+        surf_tris = [scene.surface_triangles(mid) for mid in range(len(mm.instances))]
+        collision = NodeSphereDem(nodes, surf_tris)
+        if args["dem_kn"] > 0:
+            col_params = DemParams(kn=args["dem_kn"], cn=args["dem_cn"],
+                                   mu=args["friction"])
+        else:
+            # Material-derived contact params (parameter-comparable to the
+            # reference's DEME runs, DEME_CONTACT_E/NU/COR defaults):
+            # characteristic sphere = median surface-node radius, node mass
+            # = median lumped mass over the contact spheres.
+            from tlfea.elements.assembly import lumped_mass
+
+            all_tris = np.concatenate([np.asarray(t) for t in surf_tris])
+            radii = node_sphere_radii(nodes, all_tris)
+            surf_ids = np.unique(all_tris.reshape(-1))
+            m_node = np.asarray(lumped_mass(elems))[surf_ids]
+            col_params = dem_params_from_material(
+                args["dem_E"], args["dem_nu"], args["dem_cor"],
+                radius=float(np.median(radii[surf_ids])),
+                mass=float(np.median(m_node)), mu=args["friction"],
+            )
+            print(f"DEM material map: E={args['dem_E']:.3g} nu={args['dem_nu']}"
+                  f" cor={args['dem_cor']} -> kn={float(col_params.kn):.4g}"
+                  f" cn={float(col_params.cn):.4g}")
     else:
         raise SystemExit("--collision must be hydro or deme")
     step = make_solver(args["solver"], system, args["dt"], args["rho_alm"])

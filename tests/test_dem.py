@@ -236,3 +236,48 @@ def test_dem_bridge_cosim_loop():
     assert zmin > -0.02, f"fell through the DEM floor (zmin={zmin})"
     assert float(np.abs(np.asarray(sim.state.v)).max()) < 1.0
     assert engine.calls == n_steps
+
+
+def test_dem_params_from_material_mapping():
+    """Physical (E, nu, CoR) -> (kn, cn) mapping (reference forwards these
+    to DEM-Engine, `DemeMeshCollisionSystem.cu:358-366`): pins the Hertz
+    linearization and the EXACT linear spring-dashpot restitution inversion
+    |v_out/v_in| = exp(-zeta*pi/sqrt(1-zeta^2)) with zeta = cn/(2 sqrt(kn m*))."""
+    from tlfea.collision.dem import dem_params_from_material
+
+    E, nu, radius, mass = 2e6, 0.3, 0.01, 1e-3
+
+    # Elastic contact: no damping.
+    p1 = dem_params_from_material(E, nu, 1.0, radius, mass)
+    assert float(p1.cn) == 0.0
+
+    # Stiffness: Hertz dF/dd at the characteristic overlap d0.
+    e_star = E / (2 * (1 - nu**2))
+    r_star = radius / 2
+    d0 = 1e-2 * r_star
+    kn_expected = (4.0 / 3.0) * e_star * np.sqrt(r_star * d0)
+    assert np.isclose(float(p1.kn), kn_expected, rtol=1e-12)
+
+    # Restitution inversion: the derived zeta must reproduce the requested
+    # CoR through the closed-form linear-dashpot restitution.
+    for cor in (0.9, 0.5, 0.2):
+        p = dem_params_from_material(E, nu, cor, radius, mass)
+        m_star = mass / 2
+        zeta = float(p.cn) / (2 * np.sqrt(float(p.kn) * m_star))
+        cor_model = np.exp(-zeta * np.pi / np.sqrt(1 - zeta**2))
+        assert np.isclose(cor_model, cor, rtol=1e-10), (cor, cor_model)
+
+    # Perfectly plastic: critical damping.
+    p0 = dem_params_from_material(E, nu, 0.0, radius, mass)
+    m_star = mass / 2
+    assert np.isclose(float(p0.cn), 2 * np.sqrt(float(p0.kn) * m_star), rtol=1e-12)
+
+    # Monotonic: lower restitution -> more damping.
+    cns = [float(dem_params_from_material(E, nu, c, radius, mass).cn)
+           for c in (1.0, 0.8, 0.5, 0.2, 0.0)]
+    assert all(a < b for a, b in zip(cns, cns[1:]))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dem_params_from_material(E, nu, 1.5, radius, mass)

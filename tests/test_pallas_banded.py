@@ -223,3 +223,59 @@ def test_banded_matches_linearize_mooney_rivlin():
     )
     assert _rel(g_b, g_ref) < 1e-11
     assert _rel(hvp_b(st["p"]), hvp_ref(st["p"])) < 1e-11
+
+
+@pytest.mark.slow
+def test_banded_linear_constraints_pin_terms_split():
+    """General LinearConstraints on the banded fast path (VERDICT-r3 item
+    6): the production split (affine half dt J^T(lam + rho c0) expanded
+    outside the while nest + loop-local dt rho J^T J u, exactly what
+    newton._newton_inner precomputes) must equal jax.linearize(grad_L) on
+    the XLA path. Interpret mode, f64 exact."""
+    from tlfea.constraints import LinearConstraintBuilder
+
+    nodes, system, _ = _problem(8, 2, 2)
+    b = LinearConstraintBuilder()
+    # Clamp the x=0 face through general rows (not FixedCoefs) + a weld.
+    for n_id in np.nonzero(nodes[:, 0] < 1e-12)[0]:
+        for d in range(3):
+            b.fix_dof(int(n_id), d, float(nodes[n_id, d]))
+    b.equate_dofs(int(nodes.shape[0] // 2), int(nodes.shape[0] // 2 + 1))
+    cons = b.build(dtype=DTYPE)
+    system = system.replace(constraints=cons)
+    psystem = pallas_fem.with_pallas(
+        system, dtype=DTYPE, interpret=True, banded=True
+    )
+    assert psystem.pallas.banded is not None
+
+    rng = np.random.default_rng(11)
+    n = nodes.shape[0]
+    st = dict(
+        x_prev=jnp.asarray(nodes, DTYPE), u_prev=jnp.zeros((n, 3), DTYPE),
+        v=jnp.asarray(rng.normal(size=(n, 3)) * 0.1, DTYPE),
+        v_prev=jnp.asarray(rng.normal(size=(n, 3)) * 0.1, DTYPE),
+        p=jnp.asarray(rng.normal(size=(n, 3)), DTYPE),
+    )
+    lam_dual = jnp.asarray(rng.normal(size=(cons.n_rows,)), DTYPE)
+    f_ext = jnp.asarray(rng.normal(size=(n, 3)), DTYPE)
+    dt, rho = DTYPE(1e-3), DTYPE(1e6)
+
+    g_ref, hvp_ref = jax.linearize(
+        lambda vv: grad_L(vv, st["x_prev"], st["v_prev"], lam_dual, f_ext,
+                          dt, rho, system, u_prev=st["u_prev"]),
+        st["v"],
+    )
+
+    # The production pin_terms split (mirrors newton._newton_inner).
+    from tlfea.elements.assembly import node_ref
+
+    x_ref = node_ref(psystem.elems)
+    c0 = (cons._apply_j(x_ref) - cons.b).astype(DTYPE)
+    aff = dt * cons.apply_jt(lam_dual + rho * c0, n)
+    lin = lambda p: dt * rho * cons.apply_jt(cons._apply_j(p), n)
+    g_b, hvp_b = pallas_banded.g_and_hvp_banded(
+        st["v"], st["x_prev"], st["v_prev"], lam_dual, f_ext, dt, rho,
+        psystem, u_prev=st["u_prev"], pin_terms=(aff, lin),
+    )
+    assert _rel(g_b, g_ref) < 1e-11
+    assert _rel(hvp_b(st["p"]), hvp_ref(st["p"])) < 1e-11

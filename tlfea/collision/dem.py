@@ -35,19 +35,63 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["DemParams", "NodeSphereDem", "SphereCloud", "GranularDem", "node_sphere_radii"]
+__all__ = ["DemParams", "dem_params_from_material", "NodeSphereDem",
+           "SphereCloud", "GranularDem", "node_sphere_radii"]
 
 
 @struct.dataclass
 class DemParams:
     """Contact-law parameters (reference env knobs DEME_CONTACT_E/NU/COR,
-    `DemeMeshCollisionSystem.cu:50-52`, mapped to an explicit
-    spring-dashpot)."""
+    `DemeMeshCollisionSystem.cu:358-366`, mapped to an explicit
+    spring-dashpot). Raw kn/cn/mu are the low-level knobs; derive them from
+    material properties with `dem_params_from_material` (the
+    parameter-comparable path to the reference's DEME runs)."""
 
     kn: jnp.ndarray = 1e6  # normal stiffness [N/m]
     cn: jnp.ndarray = 1e2  # normal damping [N s/m]
     mu: jnp.ndarray = 0.4  # Coulomb friction coefficient
     v_reg: jnp.ndarray = 1e-3  # friction regularization velocity [m/s]
+
+
+def dem_params_from_material(E, nu, cor, radius, mass, mu=0.4,
+                             overlap_frac=1e-2, v_reg=1e-3) -> DemParams:
+    """Physical contact parameterization: (E, nu, CoR) -> (kn, cn), the
+    same material knobs the reference forwards to DEM-Engine
+    (`DemeMeshCollisionSystem.cu:358-366`, env DEME_CONTACT_E/NU/COR; DEME
+    applies Hertz-Mindlin internally). Host-side, called once at setup.
+
+    Mapping (standard linear-spring equivalent of Hertzian contact between
+    like spheres):
+      E*  = E / (2 (1 - nu^2))          (effective contact modulus)
+      R*  = radius / 2                  (effective radius, equal spheres)
+      kn  = (4/3) E* sqrt(R* d0),  d0 = overlap_frac * R*
+            (Hertz stiffness dF/dd linearized at characteristic overlap d0)
+      m*  = mass / 2                    (effective mass, equal spheres)
+      cn  = 2 beta sqrt(kn m*),  beta = -ln(e) / sqrt(ln(e)^2 + pi^2)
+            (exact linear spring-dashpot restitution inversion: a normal
+            impact then exits with |v_out/v_in| = e; e = 1 -> cn = 0,
+            e -> 0 -> cn -> critical damping 2 sqrt(kn m*))
+
+    radius/mass: characteristic contact-sphere radius [m] and mass [kg]
+    (e.g. median of `node_sphere_radii` and the node lumped mass, or the
+    `SphereCloud` particle values for `GranularDem`).
+    """
+    E, nu, cor = float(E), float(nu), float(cor)
+    radius, mass = float(radius), float(mass)
+    if not (0.0 <= cor <= 1.0):
+        raise ValueError(f"restitution must be in [0, 1], got {cor}")
+    e_star = E / (2.0 * (1.0 - nu * nu))
+    r_star = 0.5 * radius
+    d0 = overlap_frac * r_star
+    kn = (4.0 / 3.0) * e_star * np.sqrt(r_star * d0)
+    m_star = 0.5 * mass
+    if cor <= 0.0:
+        beta = 1.0  # ln(0) limit: critical damping
+    else:
+        ln_e = np.log(cor)
+        beta = -ln_e / np.sqrt(ln_e * ln_e + np.pi * np.pi)
+    cn = 2.0 * beta * np.sqrt(kn * m_star)
+    return DemParams(kn=kn, cn=cn, mu=mu, v_reg=v_reg)
 
 
 def _contact_force(n_hat, delta, v_rel, kn, cn, mu, v_reg):

@@ -90,7 +90,28 @@ class DemMeshCollision:
         import jax.numpy as jnp
 
         x_np = np.asarray(x)
-        v_np = None if v is None else np.asarray(v)
+        # v=None contract: when the caller has no velocity state the backend
+        # receives zeros (contacts then see zero relative mesh velocity —
+        # purely elastic response, no contact damping), matching what DEME
+        # would compute for a statically-prescribed mesh.
+        v_np = np.zeros_like(x_np) if v is None else np.asarray(v)
+        import inspect
+
+        try:
+            sig = inspect.signature(self.backend.do_dynamics)
+            sig.bind(self.mm, x_np, v_np)
+        except TypeError:
+            # Legacy 2-arg backend (pre-velocity contract): name the new
+            # contract instead of surfacing a bare arity TypeError from the
+            # call site (internal backend TypeErrors still propagate).
+            raise TypeError(
+                "DEM backend do_dynamics must accept (meshes, x, v) — the "
+                "bridge prescribes node velocities so contacts see the "
+                "correct relative velocity (v is zeros when the caller has "
+                "none). Update the backend signature."
+            ) from None
+        except ValueError:
+            pass  # uninspectable callable (C extension): call as-is
         out = self.backend.do_dynamics(self.mm, x_np, v_np)
         if len(out) != 3:
             raise ValueError(

@@ -45,8 +45,16 @@ class MooneyRivlin:
 
     @property
     def lam(self):
-        """Small-strain first-Lamé equivalent, lam = kappa - 2 mu / 3."""
-        return self.kappa - (4.0 / 3.0) * (self.mu10 + self.mu01)
+        """Small-strain first-Lamé equivalent, lam = kappa - 2 mu / 3,
+        clamped at 0: valid compressible parameter sets with small kappa
+        give a NEGATIVE equivalent (nu < 0), which would flip the sign of
+        the Lamé-scale terms in the consumers of this property
+        (preconditioner blocks, `suggest_rho`) — those need a non-negative
+        stiffness SCALE, not the signed constant. The stress itself never
+        reads this."""
+        return jnp.maximum(
+            self.kappa - (4.0 / 3.0) * (self.mu10 + self.mu01), 0.0
+        )
 
     def first_piola(self, F: jnp.ndarray) -> jnp.ndarray:
         """Elastic first Piola-Kirchhoff stress for F of shape (..., 3, 3)."""

@@ -477,10 +477,17 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
         data["Meh"] = Me_T.astype(hv_dtype)
     prep_dtype = np.dtype(hv_dtype) if hv_is_reduced else np.dtype(dtype)
 
-    def hv_fn(dt_arr, win3, prepT, data):
+    # Grid-parameterized call builders: `grid` is the number of element
+    # blocks THIS call iterates (the full n_blocks single-device; a local
+    # per-device slab under `tlfea.parallel.shard_banded`'s shard_map). The
+    # prefetch tables (wb/first/r0/fid/ranges) arrive via `pre` so the
+    # sharded path can pass device-LOCAL slices; out_shape stays the global
+    # window count (every device owns a full window buffer, combined by
+    # psum outside).
+    def hv_call(pre, dt_arr, win3, prepT, data, grid=n_blocks):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
-            grid=(n_blocks,),
+            grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1,1)
                 pl.BlockSpec((1, 3 * WR2, ROW), _indw),
@@ -503,14 +510,14 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_wins, 3 * WR2, ROW), win3.dtype),
             interpret=interpret,
-        )(wb_j, first_j, r0_j, fid_j, ranges_j,
+        )(pre["wb"], pre["first"], pre["r0"], pre["fid"], pre["ranges"],
           dt_arr, win3, data["inv"], *comb_in, data["cl"], prepT,
           gN_in, data["dV"], Me_in)
 
-    def primal_fn(win9, data):
+    def primal_call(pre, win9, data, grid=n_blocks):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
-            grid=(n_blocks,),
+            grid=(grid,),
             in_specs=[
                 pl.BlockSpec((1, 9 * WR2, ROW), _indw),
                 pl.BlockSpec((1, I_cap * SUB, ROW), _indb),
@@ -533,15 +540,25 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
             out_shape=[
                 jax.ShapeDtypeStruct((n_wins, 3 * WR2, ROW), win9.dtype),
                 jax.ShapeDtypeStruct(
-                    (n_blocks, PR_pad * SUB, LANE), prep_dtype),
+                    (grid, PR_pad * SUB, LANE), prep_dtype),
             ],
             interpret=interpret,
-        )(wb_j, first_j, r0_j, fid_j, ranges_j,
+        )(pre["wb"], pre["first"], pre["r0"], pre["fid"], pre["ranges"],
           win9, data["inv"], *comb_in, data["cl"], data["gN"], data["dV"],
           data["Me"])
 
+    pre0 = dict(wb=wb_j, first=first_j, r0=r0_j, fid=fid_j, ranges=ranges_j)
+
+    def hv_fn(dt_arr, win3, prepT, data):
+        return hv_call(pre0, dt_arr, win3, prepT, data)
+
+    def primal_fn(win9, data):
+        return primal_call(pre0, win9, data)
+
     return BandedHandle(
         hv_fn=hv_fn, primal_fn=primal_fn, data=data,
+        hv_call=hv_call, primal_call=primal_call, pre=pre0,
+        prep_dtype=prep_dtype, PR_pad=PR_pad,
         W=W, WR=WR, WR2=WR2, RT=RT, K=K, I_cap=I_cap, P_comb=P_comb,
         n_wins=n_wins, n_blocks=n_blocks, E=E, E_pad=E_pad, S=S, Q=Q,
         PR=PR, n=n, span=span, order=order,
@@ -796,7 +813,7 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
     the layout question moot and is also faster (no row-granular op on the
     CG path, PERF_NOTES cost model).
     """
-    from tlfea.constraints import DensePins, FixedCoefs
+    from tlfea.constraints import DensePins, FixedCoefs, LinearConstraints
     from tlfea.elements.assembly import node_ref
 
     bnd = system.pallas.banded
@@ -814,9 +831,20 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
     outw, prepT = bnd.primal_fn(to_windows(packed, bnd), bdata)
     g = from_windows(outw, bnd)
     pin_lin = None
+    lin_fn = None  # callable u-linear constraint term (general linear rows)
     if pin_terms is not None:
-        pin_aff, pin_lin = pin_terms
-        g = g + pin_aff + pin_lin * u
+        pin_aff, lin = pin_terms
+        if callable(lin):
+            # General LinearConstraints recipe (see newton._newton_inner):
+            # aff = dt J^T(lam + rho c0) expanded OUTSIDE the while nest
+            # (the scan-carried dual never enters an indexed op inside it —
+            # the miscompile rule below); lin(u) = dt rho J^T J u uses only
+            # loop-local values with constant COO indices.
+            g = g + pin_aff + lin(u)
+            lin_fn = lin
+        else:
+            g = g + pin_aff + lin * u
+            pin_lin = lin
     elif isinstance(cons, FixedCoefs):
         c = cons.eval_c_u(u, x_ref)
         g = g.at[cons.idx].add(dt * (lam_dual + rho * c))
@@ -830,6 +858,17 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
         c = cons.eval_c_u(u, x_ref)
         g = g + dt * cons.mask.astype(dtype) * (lam_dual.astype(dtype) + rho * c)
         pin_lin = dt * rho * cons.mask.astype(dtype)
+    elif isinstance(cons, LinearConstraints):
+        # Direct-call path (tests / one-off steps): general linear rows via
+        # the static COO gathers. Production solves go through pin_terms
+        # (newton precomputes the affine half outside the while nest).
+        c = cons.eval_c_u(u, x_ref).astype(dtype)
+        g = g + dt * cons.apply_jt((lam_dual.astype(dtype) + rho * c),
+                                   g.shape[0])
+
+        def lin_fn(p, cons=cons, n=g.shape[0]):
+            return dt * rho * cons.apply_jt(cons._apply_j(p), n)
+
     g = g - f_ext
 
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
@@ -838,6 +877,8 @@ def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,
         h = from_windows(bnd.hv_fn(dt_arr, to_windows(p, bnd), prepT, bdata), bnd)
         if pin_lin is not None:
             h = h + dt * pin_lin * p
+        if lin_fn is not None:
+            h = h + dt * lin_fn(p)
         return h
 
     return g, hvp

@@ -1010,10 +1010,14 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system, u_prev=None):
     primal recompute, no tangent/primal concat (the round-1 custom-jvp path
     gathered 9 channels and re-derived F, Fdot per iteration).
 
-    FixedCoefs / DensePins (or no) constraints only; the caller falls back
-    to `jax.linearize(grad_L)` otherwise. Matches `grad_L` exactly.
+    FixedCoefs / DensePins / LinearConstraints (or no) constraints; matches
+    `grad_L` exactly. LinearConstraints (the reference's general CSR rows,
+    `SyncedNewton.cu:556-801`) apply J^T(lam + rho c) to the gradient and
+    dt^2 rho J^T J to the Hv through their static COO gathers — constant
+    index arrays, so the CG critical path stays a single kernel + sparse
+    axpy-scale work.
     """
-    from tlfea.constraints import DensePins, FixedCoefs
+    from tlfea.constraints import DensePins, FixedCoefs, LinearConstraints
     from tlfea.elements.assembly import node_ref
 
     elems = system.elems
@@ -1050,12 +1054,21 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system, u_prev=None):
         - f_ext.astype(acc)
     ).astype(dtype)
     pin_lin = None
+    lin_fn = None  # callable Hv constraint term (general linear rows)
     if isinstance(cons, DensePins):
         # Dense pin algebra (no scatter): gradient dt*mask*(lam + rho c),
         # Hv dt^2 rho mask * p.
         c = cons.eval_c_u(u, x_ref)
         g = g + dt * cons.mask.astype(dtype) * (lam_dual.astype(dtype) + rho * c)
         pin_lin = (dt * dt * rho) * cons.mask.astype(dtype)
+    elif isinstance(cons, LinearConstraints):
+        c = cons.eval_c_u(u, x_ref).astype(dtype)
+        g = g + dt * cons.apply_jt(
+            (lam_dual.astype(dtype) + rho * c), n
+        )
+
+        def lin_fn(p, cons=cons, n=n):
+            return (dt * dt * rho) * cons.apply_jt(cons._apply_j(p), n)
 
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
 
@@ -1077,6 +1090,8 @@ def g_and_hvp(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system, u_prev=None):
         ).astype(dtype)
         if pin_lin is not None:
             out = out + pin_lin * p
+        if lin_fn is not None:
+            out = out + lin_fn(p)
         return out
 
     return g, hvp

@@ -142,7 +142,7 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     u_prev: stored displacement state (StepState.u) for full f32
     displacement-scale resolution; falls back to x_prev - x_ref.
     """
-    from tlfea.constraints import DensePins, FixedCoefs
+    from tlfea.constraints import DensePins, FixedCoefs, LinearConstraints
 
     dt, rho = params.dt, params.rho
 
@@ -153,19 +153,24 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     # so each CG Hessian-vector product is one (E,S,3) gather + one tangent
     # kernel + one scatter (no primal recompute / 9-channel tangent pack —
     # see `pallas_fem.g_and_hvp`). Falls back to jax.linearize otherwise.
+    cons_ok = (system.constraints is None
+               or isinstance(system.constraints,
+                             (FixedCoefs, DensePins, LinearConstraints)))
     use_pallas_hv = (
         system.pallas is not None
         and getattr(system.pallas, "hv_fn", None) is not None
-        and (system.constraints is None
-             or isinstance(system.constraints, (FixedCoefs, DensePins)))
+        and cons_ok
     )
     # Banded fused path: one Pallas kernel per gradient / Hv, with the
     # gather+scatter inside the kernel (pallas_banded). Preferred when the
     # mesh was banded enough at build time; the wide-accumulation accuracy
     # mode stays on the flat path (its scatters run in accum_dtype).
+    # Independent of the flat hv_fn gate: sharded flagship systems
+    # (`parallel.shard_banded.shard_flagship`) carry ONLY banded kernels.
     use_banded = (
-        use_pallas_hv
+        system.pallas is not None
         and getattr(system.pallas, "banded", None) is not None
+        and cons_ok
         and not system.accum_dtype
     )
 
@@ -204,6 +209,28 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
         tgt_u = mask * (cons.target - x_ref).astype(v0.dtype)
         pin_terms = (dt * (mask * lam.astype(v0.dtype) - rho * tgt_u),
                      dt * rho * mask)
+    elif use_banded and isinstance(system.constraints, LinearConstraints):
+        # General linear rows (the reference's CSR constraints,
+        # `SyncedNewton.cu:556-801`) on the banded fast path. Split
+        #   g_cons = dt J^T(lam + rho c(u)) = dt J^T(lam + rho c0)
+        #            + dt rho J^T J u,      c0 = J x_ref - b,
+        # so the SCAN-CARRIED dual only enters the affine field expanded
+        # here, OUTSIDE the Newton/CG while nest (the banded miscompile rule
+        # — PERF_NOTES instance #2: a scatter of carry-traced data inside
+        # the nest corrupts the solve; indexed ops on loop-local values with
+        # constant COO indices measured clean).
+        from tlfea.elements.assembly import node_ref
+
+        cons = system.constraints
+        x_ref = node_ref(system.elems)
+        n = x_ref.shape[0]
+        c0 = (cons._apply_j(x_ref) - cons.b).astype(v0.dtype)
+        aff = dt * cons.apply_jt(lam.astype(v0.dtype) + rho * c0, n)
+
+        def _lin(p, cons=cons, n=n):
+            return dt * rho * cons.apply_jt(cons._apply_j(p), n)
+
+        pin_terms = (aff, _lin)
 
     def linearize_g(v):
         if use_banded:
@@ -323,7 +350,6 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
 
         def backtrack(vdvg):
             vv, dvv, gn0 = vdvg
-            t_min = jnp.asarray(0.5 ** (params.ls_max - 1), vv.dtype)
 
             def ls_cond(c):
                 t, j, _bt, _bg, done = c
@@ -334,17 +360,24 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
                 # Gradient-only evaluation on the fast path (the linearized
                 # hvp half is unused and DCE'd by XLA).
                 gn = flat_norm(linearize_g(vv + t * dvv)[0])
-                better = gn < best_gn  # False for NaN: best_t stays t_min
+                better = gn < best_gn  # False for NaN: best stays as-is
                 best_t = jnp.where(better, t, best_t)
                 best_gn = jnp.where(better, gn, best_gn)
                 done = gn <= (1.0 - 1e-4 * t) * gn0
                 return (t * 0.5, j + 1, best_t, best_gn, done)
 
+            # best starts at (t=0, ||g(v)||): if EVERY trial fails the
+            # sufficient-decrease test (or all trial gradients are NaN — a
+            # non-finite dv makes every vv + t*dvv non-finite), the fallback
+            # step is ZERO, never a residual-increasing or NaN update. A
+            # rejected step costs one wasted inner iteration; the previous
+            # fallback (best_t = t_min = 2^-(ls_max-1), relative) still
+            # teleported the iterate by 1/128 of an unbounded CG direction.
             one = jnp.ones((), vv.dtype)
             _, _, best_t, _, _ = jax.lax.while_loop(
                 ls_cond, ls_body,
-                (one, jnp.asarray(0, jnp.int32), t_min,
-                 jnp.asarray(jnp.inf, vv.dtype), jnp.asarray(False)),
+                (one, jnp.asarray(0, jnp.int32), jnp.zeros((), vv.dtype),
+                 gn0, jnp.asarray(False)),
             )
             return vv + best_t * dvv
 
@@ -503,9 +536,14 @@ def _cons_closure(system: System):
     """
     if system.pallas is None or getattr(system.pallas, "banded", None) is None:
         return None
-    from tlfea.constraints import FixedCoefs
+    from tlfea.constraints import FixedCoefs, LinearConstraints
 
-    if isinstance(system.constraints, FixedCoefs):
+    if isinstance(system.constraints, (FixedCoefs, LinearConstraints)):
+        # LinearConstraints COO arrays are tiny (KBs) and their gathers run
+        # inside the while nest on the banded path — the same traced-index
+        # exposure class as FixedCoefs, so they get the same constant-pin
+        # treatment. Retargeting (changing b) therefore recompiles on the
+        # banded path; use DensePins for retargeting scenes.
         return system.constraints
     return None
 

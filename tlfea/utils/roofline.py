@@ -28,10 +28,49 @@ figure).
 
 from __future__ import annotations
 
-__all__ = ["banded_kernel_cost", "step_cost", "V5E_HBM_BPS", "V5E_PEAK_FLOPS"]
+__all__ = ["banded_kernel_cost", "step_cost", "chip_peaks",
+           "V5E_HBM_BPS", "V5E_PEAK_FLOPS"]
 
 V5E_HBM_BPS = 819e9  # bytes/s
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak (MFU denominator)
+
+# Per-generation peak numbers (public spec sheets): device kind (as reported
+# by jax Device.device_kind, lowercased substring) -> (HBM bytes/s, bf16
+# peak FLOP/s). roofline_pct/mfu_pct are silently wrong if computed against
+# the wrong generation — `chip_peaks` detects the attached chip and the
+# bench records the assumed kind next to the percentages.
+_CHIP_PEAKS = {
+    "v5e": (819e9, 197e12),
+    "v5p": (2765e9, 459e12),
+    "v4": (1228e9, 275e12),
+    "v6e": (1640e9, 918e12),  # trillium
+    "v6": (1640e9, 918e12),
+}
+
+
+def chip_peaks(default_kind="v5e"):
+    """(hbm_bps, peak_flops, kind_str) for the first attached accelerator.
+
+    Falls back to `default_kind` (and labels it "assumed") when no TPU is
+    attached or the kind string is unrecognized.
+    """
+    kind = None
+    try:
+        import jax
+
+        for d in jax.devices():
+            if d.platform != "cpu":
+                kind = str(getattr(d, "device_kind", "") or "").lower()
+                break
+    except Exception:  # pragma: no cover
+        pass
+    if kind:
+        for key, (bps, flops) in sorted(_CHIP_PEAKS.items(),
+                                        key=lambda kv: -len(kv[0])):
+            if key in kind:
+                return bps, flops, key
+    bps, flops = _CHIP_PEAKS[default_kind]
+    return bps, flops, f"{default_kind} (assumed)"
 
 # SVK/MR tile-algebra core FLOPs per quadrature point (per element lane),
 # counted from `pallas_fem._SVKTile` / `_MRTile`: symmetrized gradient
