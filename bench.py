@@ -134,13 +134,26 @@ def run_scale(name, rollout=20, tol=2.5e-2):
         # frozen tables AND skips the 3-pass f32 MXU emulation (same CG
         # counts — see CoarsePrecond.mm_dtype).
         big = nodes.shape[0] > 50_000
-        coarse = build_coarse_precond(system, state.x, float(params.dt),
-                                      float(params.rho), ranges=big,
-                                      max_agg=1024 if big else 512,
-                                      mm_dtype="bfloat16" if big else None)
+
+        def _coarse():
+            return build_coarse_precond(system, state.x, float(params.dt),
+                                        float(params.rho), ranges=big,
+                                        max_agg=1024 if big else 512,
+                                        mm_dtype="bfloat16" if big else None)
+
+        try:
+            coarse = _coarse()
+        except Exception as e:  # transient tunnel/RPC flake: retry once
+            # (measured r4: a JaxRuntimeError here cost the 10k scale its
+            # coarse correction — CG 8 -> 30.5 — while the same build
+            # succeeded in isolation minutes later)
+            print(f"[{name}] coarse build failed once "
+                  f"({type(e).__name__}: {str(e)[:300]}); retrying",
+                  file=sys.stderr)
+            coarse = _coarse()
     except Exception as e:  # pragma: no cover
-        print(f"[{name}] coarse precond unavailable ({type(e).__name__})",
-              file=sys.stderr)
+        print(f"[{name}] coarse precond unavailable ({type(e).__name__}: "
+              f"{str(e)[:300]})", file=sys.stderr)
         coarse = None
     roll = newton.make_rollout(system, params, rollout, coarse=coarse,
                                precond_refresh=8)

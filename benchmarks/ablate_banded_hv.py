@@ -82,9 +82,8 @@ jax.block_until_ready(prepT)
 S, Q, K, RT, WR2, I_cap, P_comb, PR = (
     bnd.S, bnd.Q, bnd.K, bnd.RT, bnd.WR2, bnd.I_cap, bnd.P_comb, bnd.PR)
 PR_pad = PR + (PR % 2)
-phys = dict(Q=Q, S=S, lam=float(mat.lam), mu=float(mat.mu),
-            eta=float(mat.eta_damp), lam_d=float(mat.lam_damp),
-            damped=True, tmask=elems.trans_mask)
+phys = dict(Q=Q, S=S, mops=pallas_fem.tile_material(mat),
+            tmask=elems.trans_mask)
 
 
 def make_min_fn(with_tables):

@@ -279,3 +279,29 @@ def test_banded_linear_constraints_pin_terms_split():
     )
     assert _rel(g_b, g_ref) < 1e-11
     assert _rel(hvp_b(st["p"]), hvp_ref(st["p"])) < 1e-11
+
+
+def test_banded_blocks_kernel_matches_xla():
+    """Block-Jacobi assembly through the banded kernel (6-channel SYM6
+    scatter) == the XLA-path `precond_blocks` (r4: the XLA `.at[conn].add`
+    assembly was device-traced at 21 ms per refresh at 100k elems; the
+    banded kernel replaces it on the production refresh path)."""
+    from tlfea.solvers.common import precond_blocks
+
+    nodes, system, fixed = _problem(8, 2, 2)
+    psystem = pallas_fem.with_pallas(
+        system, dtype=DTYPE, interpret=True, banded=True
+    )
+    assert psystem.pallas.banded.blocks_fn is not None
+    st = _rand_state(nodes, fixed)
+    dt, rho = DTYPE(1e-3), DTYPE(1e6)
+
+    # XLA reference on the UN-banded system (banded gate off).
+    b_ref = precond_blocks(st["v"], st["x_prev"], dt, rho, system,
+                           u_prev=st["u_prev"])
+    b_banded = precond_blocks(st["v"], st["x_prev"], dt, rho, psystem,
+                              u_prev=st["u_prev"])
+    assert b_banded.shape == b_ref.shape == (nodes.shape[0], 3, 3)
+    assert _rel(b_banded, b_ref) < 1e-12
+    # Symmetry (packed-symmetric channels unpacked to full blocks).
+    assert _rel(b_banded, jnp.swapaxes(b_banded, -1, -2)) < 1e-12

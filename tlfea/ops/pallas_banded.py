@@ -447,8 +447,10 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     def _bspec(rows, dt_=None):
         return pl.BlockSpec((1, rows * SUB, LANE), _indb)
 
-    hv_body = partial(_hv_banded_body, **phys, **geom, PR=PR)
-    primal_body = partial(_primal_banded_body, **phys, **geom)
+    hv_body = partial(_hv_banded_body, **phys, **geom, PR=PR,
+                      interp=interpret)
+    primal_body = partial(_primal_banded_body, **phys, **geom,
+                          interp=interpret)
 
     scratch = [pltpu.VMEM((3 * S * SUB, ROW), jnp.dtype(dtype))]
 
@@ -547,6 +549,49 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
           win9, data["inv"], *comb_in, data["cl"], data["gN"], data["dV"],
           data["Me"])
 
+    # Block-Jacobi assembly kernel (SVK closed-form diag blocks — same gate
+    # as pallas_fem.make_precond_blocks). 6 packed-symmetric channels
+    # through the same window scatter schedule as the 3-channel force
+    # kernels; caller combines windows and unpacks (see `blocks_banded`).
+    from tlfea.materials import SVK as _SVK
+
+    if isinstance(material, _SVK):
+        blocks_body = partial(
+            _blocks_banded_body, Q=Q, S=S, lam=float(material.lam),
+            mu=float(material.mu), tmask=elems.trans_mask, **geom,
+            interp=interpret,
+        )
+
+        def blocks_call(pre, win3, data, grid=n_blocks):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec((1, 3 * WR2, ROW), _indw),
+                    pl.BlockSpec((1, I_cap * SUB, ROW), _indb),
+                    *comb_specs,
+                    _bspec(S),            # cl
+                    _bspec(Q * S * 3),    # gN
+                    _bspec(Q),            # dV
+                ],
+                out_specs=pl.BlockSpec((1, 6 * WR2, ROW), _indw),
+                scratch_shapes=[
+                    pltpu.VMEM((6 * S * SUB, ROW), jnp.dtype(dtype))
+                ],
+            )
+            comb_in = (data["comb"],) if P_comb else ()
+            return pl.pallas_call(
+                blocks_body,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (n_wins, 6 * WR2, ROW), win3.dtype),
+                interpret=interpret,
+            )(pre["wb"], pre["first"], pre["r0"], pre["fid"], pre["ranges"],
+              win3, data["inv"], *comb_in, data["cl"], data["gN"],
+              data["dV"])
+    else:
+        blocks_call = None
+
     pre0 = dict(wb=wb_j, first=first_j, r0=r0_j, fid=fid_j, ranges=ranges_j)
 
     def hv_fn(dt_arr, win3, prepT, data):
@@ -555,8 +600,15 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     def primal_fn(win9, data):
         return primal_call(pre0, win9, data)
 
+    if blocks_call is not None:
+        def blocks_fn(win3, data, _call=blocks_call):
+            return _call(pre0, win3, data)
+    else:
+        blocks_fn = None
+
     return BandedHandle(
         hv_fn=hv_fn, primal_fn=primal_fn, data=data,
+        blocks_fn=blocks_fn, blocks_call=blocks_call,
         hv_call=hv_call, primal_call=primal_call, pre=pre0,
         prep_dtype=prep_dtype, PR_pad=PR_pad,
         W=W, WR=WR, WR2=WR2, RT=RT, K=K, I_cap=I_cap, P_comb=P_comb,
@@ -574,14 +626,33 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
 # --------------------------------------------------------------------------
 
 
-def _window_gather(b, win_ref, cl_ref, r0_r, S, n_chan, K, WR2, dtype):
+def _window_gather(b, win_ref, cl_ref, r0_r, S, n_chan, K, WR2, dtype,
+                   interp=False):
     """Shuffle-table gather: pg[a][c] (8,128) element tiles.
 
     Per slot: r = cl >> log2(ROW) table row, q = cl & (ROW-1) lane; one-hot
     over the slot's K table rows, each: broadcast row -> lane-shuffle by q
     -> select where r matches. Channel c's table is win rows
     [c*WR2, (c+1)*WR2).
+
+    interp: direct XLA gather instead of the one-hot loop — numerically
+    identical (each output lane selects exactly one window value; no sums
+    reorder), but K*S*n_chan unrolled one-hot rows (~2000 at production
+    window widths: K tracks the BLOCK span, ~W/128 regardless of mesh)
+    inline into the XLA module under interpret mode and blow CPU compile
+    time from minutes to hours. Compiled-mode (TPU) always uses the
+    one-hot path — Mosaic has no arbitrary-gather lowering.
     """
+    if interp:
+        pg = []
+        for a in range(S):
+            cl = cl_ref[0, pl.ds(a * SUB, SUB), :]
+            acc = []
+            for c in range(n_chan):
+                flat = win_ref[0, c * WR2:(c + 1) * WR2, :].reshape(-1)
+                acc.append(flat[cl].astype(dtype))
+            pg.append(acc)
+        return pg
     pg = []
     for a in range(S):
         cl = cl_ref[0, pl.ds(a * SUB, SUB), :]
@@ -605,11 +676,12 @@ def _window_gather(b, win_ref, cl_ref, r0_r, S, n_chan, K, WR2, dtype):
 
 
 def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
-                    S, RT, WR2, I_cap, dtype, comb_ref=None, P_comb=0):
+                    S, RT, WR2, I_cap, dtype, comb_ref=None, P_comb=0,
+                    n_chan=3):
     """Static inverse-shuffle scatter: per output row-tile, iterate its
     host-scheduled items; each broadcasts one fe source row, lane-shuffles
-    it into output positions, and mask-adds (3 channels share the index
-    tile). Accumulates into the (revisited) window output block.
+    it into output positions, and mask-adds (the n_chan channels share the
+    index tile). Accumulates into the (revisited) window output block.
 
     fid_r/ranges_r are FLAT 1D SMEM tables (strides I_cap / RT*2): shaped,
     SMEM pads every trailing row to 512 B (1 MB budget blown at 100k).
@@ -629,7 +701,7 @@ def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
             cb = comb_ref[0, pl.ds((p * S + a) * SUB, SUB), :].astype(jnp.int32)
             ok = cb >= 0
             qi = jnp.where(ok, cb, 0)
-            for c in range(3):
+            for c in range(n_chan):
                 rows = fes_ref[pl.ds(c * FR + a * SUB, SUB), :]
                 sh = jnp.take_along_axis(rows, qi, axis=1)
                 fes_ref[pl.ds(c * FR + a * SUB, SUB), :] = (
@@ -649,27 +721,30 @@ def _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
                 idx = inv_ref[0, pl.ds(i * SUB, SUB), :].astype(jnp.int32)
                 ok = idx >= 0
                 qi = jnp.where(ok, idx, 0)
-                for c in range(3):
+                for c in range(n_chan):
                     src = fes_ref[pl.ds(c * FR + fid, 1), :]
                     sh = jnp.take_along_axis(
                         jnp.broadcast_to(src, (SUB, ROW)), qi, axis=1
                     )
-                    out[u * 3 + c] = out[u * 3 + c] + jnp.where(ok, sh, 0.0)
+                    out[u * n_chan + c] = (
+                        out[u * n_chan + c] + jnp.where(ok, sh, 0.0)
+                    )
             return tuple(out)
 
         zero = jnp.zeros((SUB, ROW), dtype)
         acc = jax.lax.fori_loop(
-            start // SC_U, (start + count) // SC_U, body, (zero,) * (3 * SC_U)
+            start // SC_U, (start + count) // SC_U, body,
+            (zero,) * (n_chan * SC_U)
         )
-        for c in range(3):
+        for c in range(n_chan):
             tot = acc[c]
             for u in range(1, SC_U):
-                tot = tot + acc[u * 3 + c]
+                tot = tot + acc[u * n_chan + c]
             out_ref[0, pl.ds(c * WR2 + rt * SUB, SUB), :] += tot
 
 
-def _store_fe(fes_ref, fe, S):
-    for c in range(3):
+def _store_fe(fes_ref, fe, S, n_chan=3):
+    for c in range(n_chan):
         for a in range(S):
             fes_ref[(c * S + a) * SUB:(c * S + a + 1) * SUB, :] = fe[a][c]
 
@@ -677,7 +752,7 @@ def _store_fe(fes_ref, fe, S):
 def _hv_banded_body(
     wb_r, first_r, r0_r, fid_r, ranges_r,
     dt_ref, win_ref, inv_ref, *rest,
-    Q, S, mops, tmask, PR, K, RT, WR2, I_cap, P_comb,
+    Q, S, mops, tmask, PR, K, RT, WR2, I_cap, P_comb, interp=False,
 ):
     if P_comb:
         (comb_ref, cl_ref, prep_ref, gN_ref, dV_ref, Me_ref,
@@ -692,7 +767,8 @@ def _hv_banded_body(
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    pg = _window_gather(b, win_ref, cl_ref, r0_r, S, 3, K, WR2, win_ref.dtype)
+    pg = _window_gather(b, win_ref, cl_ref, r0_r, S, 3, K, WR2,
+                        win_ref.dtype, interp=interp)
     # Row-group reads from the per-block contiguous tables (_blk_tiles).
     # Reduced-precision tables (hv_dtype) promote to the window dtype at
     # first use — compute stays in the working dtype.
@@ -714,7 +790,7 @@ def _hv_banded_body(
 def _primal_banded_body(
     wb_r, first_r, r0_r, fid_r, ranges_r,
     win_ref, inv_ref, *rest,
-    Q, S, mops, tmask, K, RT, WR2, I_cap, P_comb,
+    Q, S, mops, tmask, K, RT, WR2, I_cap, P_comb, interp=False,
 ):
     if P_comb:
         (comb_ref, cl_ref, gN_ref, dV_ref, Me_ref,
@@ -728,7 +804,8 @@ def _primal_banded_body(
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    pu = _window_gather(b, win_ref, cl_ref, r0_r, S, 9, K, WR2, win_ref.dtype)
+    pu = _window_gather(b, win_ref, cl_ref, r0_r, S, 9, K, WR2,
+                        win_ref.dtype, interp=interp)
 
     def prep_write(row, tile):
         # prep cache may be stored reduced (hv_dtype) — rounds at write.
@@ -746,6 +823,44 @@ def _primal_banded_body(
     _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
                     S, RT, WR2, I_cap, win_ref.dtype,
                     comb_ref=comb_ref, P_comb=P_comb)
+
+
+def _blocks_banded_body(
+    wb_r, first_r, r0_r, fid_r, ranges_r,
+    win_ref, inv_ref, *rest,
+    Q, S, lam, mu, tmask, K, RT, WR2, I_cap, P_comb, interp=False,
+):
+    """Block-Jacobi assembly kernel: in-window gather of u, per-(elem,node)
+    SVK diagonal tangent blocks (packed-symmetric, 6 channels), in-window
+    scatter. Replaces the XLA row-granular `.at[conn].add` in
+    `solvers.common.precond_blocks` — a device trace measured that
+    scatter-add at 21 ms per refresh at 100k elems (144.8k nodes), the
+    single largest op in the production rollout profile."""
+    if P_comb:
+        comb_ref, cl_ref, gN_ref, dV_ref, out_ref, fes_ref = rest
+    else:
+        comb_ref = None
+        cl_ref, gN_ref, dV_ref, out_ref, fes_ref = rest
+    b = pl.program_id(0)
+
+    @pl.when(first_r[b] == 1)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    pu = _window_gather(b, win_ref, cl_ref, r0_r, S, 3, K, WR2,
+                        win_ref.dtype, interp=interp)
+    from tlfea.ops.pallas_fem import _precond_fe
+
+    fe = _precond_fe(
+        lambda a, c: pu[a][c],
+        lambda q, a, j: gN_ref[0, pl.ds(((q * S + a) * 3 + j) * SUB, SUB), :],
+        lambda q: dV_ref[0, pl.ds(q * SUB, SUB), :],
+        Q=Q, S=S, lam=lam, mu=mu, tmask=tmask,
+    )
+    _store_fe(fes_ref, fe, S, n_chan=6)
+    _window_scatter(b, out_ref, fes_ref, inv_ref, fid_r, ranges_r,
+                    S, RT, WR2, I_cap, win_ref.dtype,
+                    comb_ref=comb_ref, P_comb=P_comb, n_chan=6)
 
 
 # --------------------------------------------------------------------------
@@ -767,20 +882,38 @@ def to_windows(x, bnd):
     )
 
 
-def from_windows(outw, bnd):
-    """Combine the kernel's overlapped window outputs into an (n, 3) node
+def from_windows(outw, bnd, C=3):
+    """Combine the kernel's overlapped window outputs into an (n, C) node
     array: own halves in place, carry halves shifted one window down.
     Never-visited windows hold uninitialized device memory — mask with
     `where` (multiplying could propagate NaNs)."""
-    o = outw.reshape(bnd.n_wins, 3, bnd.WR2, ROW)
+    o = outw.reshape(bnd.n_wins, C, bnd.WR2, ROW)
     o = jnp.where(bnd.visited, o, 0.0)
-    o = jnp.transpose(o, (0, 2, 3, 1))  # (n_wins, WR2, ROW, 3)
-    own = o[:, :bnd.WR].reshape(-1, 3)
-    carry = o[:, bnd.WR:].reshape(-1, 3)
+    o = jnp.transpose(o, (0, 2, 3, 1))  # (n_wins, WR2, ROW, C)
+    own = o[:, :bnd.WR].reshape(-1, C)
+    carry = o[:, bnd.WR:].reshape(-1, C)
     res = jnp.pad(own, ((0, bnd.W), (0, 0))) + jnp.pad(
         carry, ((bnd.W, 0), (0, 0))
     )
     return res[:bnd.n]
+
+
+def blocks_banded(u, bnd, bdata=None):
+    """Scattered per-node SVK tangent blocks via the banded kernel:
+    (n, 3) displacements -> (n, 6) packed-symmetric block sums (SYM6
+    order, unweighted by dt — `solvers.common.precond_blocks` applies the
+    dt factor, unpacks, and adds mass/viscous/constraint terms).
+
+    Replaces the XLA gather + `.at[conn].add` assembly (measured 21 ms per
+    refresh at 100k elems vs ~1 ms for this kernel — the device-trace
+    finding that motivated it). bdata: the handle's table pytree threaded
+    through the enclosing jit as an argument (see newton `_banded_data`).
+    """
+    if bnd.blocks_fn is None:
+        raise ValueError("banded blocks kernel unavailable (non-SVK material)")
+    win3 = to_windows(u, bnd)
+    outw = bnd.blocks_fn(win3, bnd.data if bdata is None else bdata)
+    return from_windows(outw, bnd, C=6)
 
 
 def g_and_hvp_banded(v, x_prev, v_prev, lam_dual, f_ext, dt, rho, system,

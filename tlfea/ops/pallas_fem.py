@@ -627,22 +627,19 @@ def _wrap_body(body):
     return kernel
 
 
-def _precond_body(pe_ref, gN_ref, dV_ref, out_ref, *, Q, S, lam, mu, tmask=None):
+def _precond_fe(pget, gn, dv_at, *, Q, S, lam, mu, tmask=None):
     """Per-(element, node) SVK diagonal tangent 3x3 blocks:
 
         K_aa[d,e] = sum_q svk_tangent_block(F_q, gradN_qa) * dV_q
 
     (the closed form of `SVK.tangent_diag_block`, reference `SVK.cuh:35-55`;
-    the caller applies the uniform dt weight outside the kernel). pe carries
-    displacement channels only (S*3 rows); out is packed-symmetric (S*6).
+    the caller applies the uniform dt weight outside the kernel). Accessor
+    form shared by the flat kernel (`_precond_body`) and the banded blocks
+    kernel (`pallas_banded`): pget(a, c) reads displacement tiles, gn/dv_at
+    the static element data. Returns fe[a][c] with c indexing the packed
+    upper triangle (SYM6 order) — the block is symmetric, and 6 channels
+    instead of 9 cut the out-transpose and scatter bytes by a third.
     """
-
-    def pget(a, c):
-        return pe_ref[a * 3 + c]  # displacement (u = x - x_ref, by caller)
-
-    def gn(q, a, j):
-        return gN_ref[(q * S + a) * 3 + j]
-
     acc = [[[None] * 3 for _ in range(3)] for _ in range(S)]
     uc = _center(pget, S, tmask)
     for q in range(Q):
@@ -655,7 +652,7 @@ def _precond_body(pe_ref, gN_ref, dV_ref, out_ref, *, Q, S, lam, mu, tmask=None)
             [sum(F[i][k] * F[j][k] for k in range(3)) for j in range(3)]
             for i in range(3)
         ]
-        w = dV_ref[q]
+        w = dv_at(q)
         for a in range(S):
             h = [gn(q, a, 0), gn(q, a, 1), gn(q, a, 2)]
             Fh = [sum(F[i][j] * h[j] for j in range(3)) for i in range(3)]
@@ -670,12 +667,21 @@ def _precond_body(pe_ref, gN_ref, dV_ref, out_ref, *, Q, S, lam, mu, tmask=None)
                     K = K * w
                     prev = acc[a][d][e]
                     acc[a][d][e] = K if prev is None else prev + K
-    # The block is symmetric (FFT and Fh_d Fh_e are); emit the packed upper
-    # triangle only — 6 channels instead of 9 cuts the out-transpose and
-    # scatter bytes by a third (the caller unpacks after the scatter).
+    return [[acc[a][d][e] for (d, e) in SYM6] for a in range(S)]
+
+
+def _precond_body(pe_ref, gN_ref, dV_ref, out_ref, *, Q, S, lam, mu, tmask=None):
+    """Flat-layout wrapper of `_precond_fe`: pe carries displacement
+    channels only (S*3 rows); out is packed-symmetric (S*6, SYM6 order)."""
+    fe = _precond_fe(
+        lambda a, c: pe_ref[a * 3 + c],  # u = x - x_ref, by caller
+        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
+        lambda q: dV_ref[q],
+        Q=Q, S=S, lam=lam, mu=mu, tmask=tmask,
+    )
     for a in range(S):
-        for c, (d, e) in enumerate(SYM6):
-            out_ref[a * 6 + c] = acc[a][d][e]
+        for c in range(6):
+            out_ref[a * 6 + c] = fe[a][c]
 
 
 def make_precond_blocks(elems, material, dtype=np.float32, interpret=False, tpd=None):

@@ -146,7 +146,12 @@ def shard_banded_handle(bnd: BandedHandle, mesh, axis: str = ELEM_AXIS,
     kw = dict(bnd.__dict__)
     kw.update(hv_fn=hv_fn, primal_fn=primal_fn, data=data,
               n_blocks_padded=nbp, blocks_per_device=bpd, mesh=mesh,
-              shard_axis=axis)
+              shard_axis=axis,
+              # The single-device block-Jacobi assembly kernel would read
+              # the SHARDED table pytree with a global grid — drop it; the
+              # precond refresh is off the CG critical path and its XLA
+              # assembly shards under GSPMD.
+              blocks_fn=None, blocks_call=None)
     return BandedHandle(**kw)
 
 

@@ -221,6 +221,7 @@ def precond_blocks(
     rho,
     system: System,
     u_prev=None,
+    bdata=None,
 ) -> jnp.ndarray:
     """Block-Jacobi 3x3 preconditioner blocks of dg/dv -> (n_coef, 3, 3).
 
@@ -237,7 +238,25 @@ def precond_blocks(
     # Preconditioner quality is insensitive to the wide-u accuracy mode —
     # work in the solver dtype.
     u = (u_prev + dt * v).astype(v.dtype)
-    if system.pallas is not None and getattr(system.pallas, "precond_fn", None) is not None:
+    bnd = getattr(system.pallas, "banded", None) if system.pallas is not None else None
+    if bnd is not None and getattr(bnd, "blocks_fn", None) is not None:
+        # Banded assembly kernel: gather + SYM6 element blocks + scatter in
+        # one kernel. The XLA `.at[conn].add` below was device-traced at
+        # 21 ms per refresh at 100k elems — the largest single op in the
+        # production rollout profile (bdata: tables as jit arguments, see
+        # newton._banded_data).
+        from tlfea.ops.pallas_banded import blocks_banded
+
+        sym = dt * blocks_banded(u, bnd, bdata=bdata)
+        blocks = jnp.stack(
+            [
+                jnp.stack([sym[:, 0], sym[:, 1], sym[:, 2]], axis=-1),
+                jnp.stack([sym[:, 1], sym[:, 3], sym[:, 4]], axis=-1),
+                jnp.stack([sym[:, 2], sym[:, 4], sym[:, 5]], axis=-1),
+            ],
+            axis=-2,
+        )
+    elif system.pallas is not None and getattr(system.pallas, "precond_fn", None) is not None:
         from tlfea.ops.pallas_fem import tangent_blocks
 
         blocks = tangent_blocks(u, elems, system.pallas.precond_fn, system.pallas, dt)

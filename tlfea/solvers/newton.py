@@ -252,7 +252,8 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     # reference's cuDSS analog is REFACTORIZATION reuse
     # (`SyncedNewton.cu:1101-1108`).
     if inv_blocks is None:
-        blocks0 = precond_blocks(v0, x_prev, dt, rho, system, u_prev=u_prev)
+        blocks0 = precond_blocks(v0, x_prev, dt, rho, system, u_prev=u_prev,
+                                 bdata=bdata)
         # Invert once per inner solve: the block-Jacobi apply sits on the CG
         # critical path, and a 3x3 matvec per iteration beats re-running the
         # adjugate solve every iteration.
@@ -610,7 +611,7 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
         def fresh_inv(st):
             return inv3x3(
                 precond_blocks(st.v, st.x, params.dt, params.rho, sys_,
-                               u_prev=st.u),
+                               u_prev=st.u, bdata=bd),
                 eps=1e-30,
             )
 
