@@ -122,6 +122,19 @@ def run_scale(name, rollout=20, tol=2.5e-2):
     # only affects CG counts, never the converged solution).
     from tlfea.solvers.coarse import build_coarse_precond
 
+    # Single-block banded meshes take the RESIDENT single-kernel Newton
+    # path (ops/pallas_resident — the whole inner solve in one pallas_call)
+    # which intentionally runs without the coarse correction: at this scale
+    # the step is op-issue-latency-bound and in-kernel CG iterations cost
+    # ~8 us each, cheaper than the coarse apply's XLA op chain (measured
+    # 1k: 0.63 ms/step resident vs 1.45 ms composed-with-coarse at
+    # identical converged physics).
+    if (getattr(system.pallas, "banded", None) is not None
+            and system.pallas.banded.n_blocks == 1):
+        coarse = None
+        roll = newton.make_rollout(system, params, rollout, precond_refresh=8)
+        return _measure(name, roll, state, f_ext, rollout, n_elem, system)
+
     try:
         # Range-mode aggregation at scale: exactly the dense coarse space,
         # applied through per-slot masked reshape-sums + banded local
@@ -157,6 +170,11 @@ def run_scale(name, rollout=20, tol=2.5e-2):
         coarse = None
     roll = newton.make_rollout(system, params, rollout, coarse=coarse,
                                precond_refresh=8)
+    return _measure(name, roll, state, f_ext, rollout, n_elem, system)
+
+
+def _measure(name, roll, state, f_ext, rollout, n_elem, system):
+    import jax
 
     s, (nit, cgit) = roll(state, f_ext)  # compile + warm (settles transients)
     jax.block_until_ready(s)

@@ -37,6 +37,7 @@ from tlfea.utils.reorder import apply_node_order, best_order
 from tlfea.utils.tetmesh import box_t10_mesh
 
 CONFIGS = {
+    "1k": (1.0, 0.25, 0.25, 12, 4, 3),
     "10k": (2.0, 0.35, 0.3, 42, 7, 6),
     "100k": (4.0, 0.7, 0.6, 96, 16, 11),
 }

@@ -73,7 +73,9 @@ for scale in os.environ.get("TLFEA_SCALES", "1k,10k").split(","):
     structures = vbd.prepare(system, group_size=4)
     step = vbd.make_step(system, params, structures)
 
-    state = state.replace(u=state.x - node_ref(system.elems))
+    # VBD's step emits StepState(x, v, lam, u) with dv=None — match the
+    # carry structure (no warm-start field in VBD).
+    state = state.replace(u=state.x - node_ref(system.elems), dv=None)
 
     @jax.jit
     def roll(state, f_ext):

@@ -305,3 +305,51 @@ def test_banded_blocks_kernel_matches_xla():
     assert _rel(b_banded, b_ref) < 1e-12
     # Symmetry (packed-symmetric channels unpacked to full blocks).
     assert _rel(b_banded, jnp.swapaxes(b_banded, -1, -2)) < 1e-12
+
+
+def test_resident_inner_matches_newton_inner():
+    """Single-kernel resident Newton solve (ops/pallas_resident) == the
+    composed banded path: same algebra cores, CG recurrences, EW forcing —
+    run a full implicit step both ways (the resident gate fires for this
+    single-block mesh; monkeypatched off for the reference) and compare
+    trajectories and iteration counts."""
+    from tlfea.ops import pallas_resident
+    from tlfea.solvers import newton
+
+    nodes, system, fixed = _problem(8, 2, 2)
+    psys = pallas_fem.with_pallas(
+        system, dtype=DTYPE, interpret=True, banded=True
+    )
+    bnd = psys.pallas.banded
+    assert bnd.n_blocks == 1 and bnd.n_wins == 1
+    from tlfea.elements.assembly import lumped_mass as _lm
+    from tlfea.solvers.common import StepState
+
+    f_ext = jnp.zeros((nodes.shape[0], 3), DTYPE).at[:, 2].add(
+        _lm(psys.elems) * DTYPE(-9.81)
+    )
+    state = StepState.rest(psys, nodes.astype(DTYPE))
+    params = newton.NewtonParams(
+        dt=DTYPE(1e-3), rho=DTYPE(1e6), inner_atol=DTYPE(1e-6),
+        inner_rtol=DTYPE(0.0), outer_tol=DTYPE(0.0), max_outer=1,
+        max_inner=4, cg_rtol=DTYPE(1e-3), cg_max_iter=40,
+        ew_eta_max=DTYPE(0.5),
+    )
+    assert pallas_resident.eligible(bnd, True, None)
+    s_res, d_res = newton._step(psys, state, params, f_ext,
+                                bdata=newton._banded_data(psys))
+
+    orig = pallas_resident.eligible
+    try:
+        pallas_resident.eligible = lambda *a, **k: False
+        s_ref, d_ref = newton._step(psys, state, params, f_ext,
+                                    bdata=newton._banded_data(psys))
+    finally:
+        pallas_resident.eligible = orig
+
+    assert _rel(s_res.x, s_ref.x) < 1e-10
+    assert _rel(s_res.v, s_ref.v) < 1e-8
+    assert int(d_res["newton_iters"]) == int(d_ref["newton_iters"])
+    # CG totals may differ by a knife-edge iteration (different summation
+    # order in the in-kernel dots); they must agree closely.
+    assert abs(int(d_res["cg_iters"]) - int(d_ref["cg_iters"])) <= 2

@@ -402,6 +402,16 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
     visited = np.zeros(n_wins, bool)
     visited[np.unique(wb)] = True
 
+    # Consistent-mass diagonal, assembled ON HOST once at build time: it is
+    # constant element data, yet `assembly.mass_diag`'s 1M-row XLA
+    # scatter-add was device-traced at 6.9 ms per block-Jacobi refresh at
+    # 100k elems (the data never changes between refreshes). ~0.6 MB at
+    # 146k nodes — fine as a closure constant.
+    diag_np = np.einsum("eaa->ea", np.asarray(elems.mass_elem))
+    md_np = np.zeros(n, diag_np.dtype)
+    np.add.at(md_np, conn.reshape(-1), diag_np.reshape(-1))
+    md = jnp.asarray(md_np)
+
     # Static element tables: per-block CONTIGUOUS layout (see _blk_tiles) —
     # independent of the flat kernels' tables (they enter jits as arguments,
     # so the old shared-copy closure-size constraint no longer applies).
@@ -608,9 +618,10 @@ def build_banded(elems, material, dtype=np.float32, interpret=False,
 
     return BandedHandle(
         hv_fn=hv_fn, primal_fn=primal_fn, data=data,
-        blocks_fn=blocks_fn, blocks_call=blocks_call,
+        blocks_fn=blocks_fn, blocks_call=blocks_call, md=md,
         hv_call=hv_call, primal_call=primal_call, pre=pre0,
-        prep_dtype=prep_dtype, PR_pad=PR_pad,
+        prep_dtype=prep_dtype, PR_pad=PR_pad, mops=mops,
+        interpret=interpret,
         W=W, WR=WR, WR2=WR2, RT=RT, K=K, I_cap=I_cap, P_comb=P_comb,
         n_wins=n_wins, n_blocks=n_blocks, E=E, E_pad=E_pad, S=S, Q=Q,
         PR=PR, n=n, span=span, order=order,

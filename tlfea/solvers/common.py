@@ -289,7 +289,13 @@ def precond_blocks(
         blocks = blocks * (1.0 + (eta_d + lam_d) / (dt * lam_mu))
 
     eye = jnp.eye(3, dtype=v.dtype)
-    md = mass_diag(elems) / dt  # (n_coef,)
+    if bnd is not None and getattr(bnd, "md", None) is not None:
+        # Host-assembled at banded build time — mass is constant element
+        # data, and the XLA scatter assembly below traced at 6.9 ms per
+        # refresh at 100k elems.
+        md = bnd.md.astype(v.dtype) / dt
+    else:
+        md = mass_diag(elems) / dt  # (n_coef,)
     blocks = blocks + md[:, None, None] * eye
 
     cons = system.constraints

@@ -232,6 +232,37 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
 
         pin_terms = (aff, _lin)
 
+    # Single-kernel resident inner solve (SURVEY P5 — the reference's
+    # persistent cooperative kernel, as ONE pallas_call): for single-block /
+    # single-window banded meshes the whole Newton-PCG inner loop runs
+    # in-kernel, collapsing ~200 small XLA ops per step (measured ~85%
+    # device-idle at the 1k bench scale) to one call. Identical math —
+    # same algebra cores, CG recurrences, EW forcing, and backtracking
+    # (see ops/pallas_resident). Not taken when a coarse preconditioner is
+    # supplied (extra CG iterations are cheaper in-kernel than the coarse
+    # apply's op chain at this scale) or when `max_dv` is in use (legacy
+    # opt-in bound; the ls_max safeguard is active in-kernel).
+    if use_banded:
+        from tlfea.ops import pallas_resident
+
+        pt_dense = (pin_terms if pin_terms is None or not callable(pin_terms[1])
+                    else False)
+        cons_dense_ok = (cons is None and pt_dense is None) or (
+            pt_dense is not None and pt_dense is not False
+        )
+        if pallas_resident.eligible(system.pallas.banded, cons_dense_ok,
+                                    coarse):
+            if inv_blocks is None:
+                blocks0 = precond_blocks(v0, x_prev, dt, rho, system,
+                                         u_prev=u_prev, bdata=bdata)
+                inv_blocks_r = inv3x3(blocks0, eps=1e-30)
+            else:
+                inv_blocks_r = inv_blocks
+            return pallas_resident.newton_inner_resident(
+                v0, f_ext, params, system, inv_blocks_r, u_prev, v_prev,
+                bdata, pt_dense,
+            )
+
     def linearize_g(v):
         if use_banded:
             from tlfea.ops.pallas_banded import g_and_hvp_banded
