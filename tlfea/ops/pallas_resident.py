@@ -272,6 +272,9 @@ def _kernel(
     )
     vout_ref[0, :, :] = v_fin
     fstat_ref[0] = norm_g
+    # Define the full stats vector: slot 1 would otherwise be uninitialized
+    # device memory (advisor r4 #3). Reserved for a future second statistic.
+    fstat_ref[1] = jnp.zeros((), dtype)
     istat_ref[0] = iters
     istat_ref[1] = cg_tot
 

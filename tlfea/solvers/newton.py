@@ -243,15 +243,20 @@ def _newton_inner(v0, x_prev, v_prev, lam, f_ext, params: NewtonParams, system: 
     # apply's op chain at this scale) or when `max_dv` is in use (legacy
     # opt-in bound; the ls_max safeguard is active in-kernel).
     if use_banded:
+        import numpy as _np
+
         from tlfea.ops import pallas_resident
 
         pt_dense = (pin_terms if pin_terms is None or not callable(pin_terms[1])
                     else False)
-        cons_dense_ok = (cons is None and pt_dense is None) or (
+        cons_dense_ok = (system.constraints is None and pt_dense is None) or (
             pt_dense is not None and pt_dense is not False
         )
-        if pallas_resident.eligible(system.pallas.banded, cons_dense_ok,
-                                    coarse):
+        # The legacy ||dv|| rescale (params.max_dv) has no in-kernel
+        # counterpart; a traced max_dv counts as in-use (advisor r4 #2).
+        max_dv_off = _np.isscalar(params.max_dv) and float(params.max_dv) == 0.0
+        if max_dv_off and pallas_resident.eligible(
+                system.pallas.banded, cons_dense_ok, coarse):
             if inv_blocks is None:
                 blocks0 = precond_blocks(v0, x_prev, dt, rho, system,
                                          u_prev=u_prev, bdata=bdata)

@@ -45,7 +45,17 @@ _CHIP_PEAKS = {
     "v4": (1228e9, 275e12),
     "v6e": (1640e9, 918e12),  # trillium
     "v6": (1640e9, 918e12),
+    # jax Device.device_kind spellings (measured on this tunnel:
+    # device_kind == "TPU v5 lite" for v5e; "lite" marks the e-variants).
+    "v5 lite": (819e9, 197e12),
+    "v5litepod": (819e9, 197e12),
+    "v6 lite": (1640e9, 918e12),
+    "v5": (2765e9, 459e12),  # non-lite v5 == v5p
 }
+
+# Canonical label per matched key (the bench records this string).
+_CHIP_CANON = {"v5 lite": "v5e", "v5litepod": "v5e", "v6 lite": "v6e",
+               "v5": "v5p", "v6": "v6e"}
 
 
 def chip_peaks(default_kind="v5e"):
@@ -68,7 +78,7 @@ def chip_peaks(default_kind="v5e"):
         for key, (bps, flops) in sorted(_CHIP_PEAKS.items(),
                                         key=lambda kv: -len(kv[0])):
             if key in kind:
-                return bps, flops, key
+                return bps, flops, _CHIP_CANON.get(key, key)
     bps, flops = _CHIP_PEAKS[default_kind]
     return bps, flops, f"{default_kind} (assumed)"
 
