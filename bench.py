@@ -307,6 +307,213 @@ def run_ancf_shell(rollout=20, tol=2.5e-2, nx=28, ny=28):
     return info
 
 
+def _collision_scene(kind):
+    """Build the reference collision workloads (BASELINE.md protocol):
+    sphere-drop (2 x 256-elem T10 spheres, `test_sphere_drop_collision.cc:
+    29-44`) and the dragon item drop (14,273 elems onto a deformable floor,
+    `test_item_drop.cc:46-48`), hydroelastic backend. Falls back to box
+    meshes when the reference data dir is absent."""
+    import jax.numpy as jnp
+
+    from tlfea.collision.hydroelastic import (
+        HydroelasticCollision, HydroelasticParams,
+    )
+    from tlfea.constraints import FixedCoefs
+    from tlfea.elements import feat10
+    from tlfea.materials import SVK, lame_from_E_nu
+    from tlfea.solvers import System, StepState
+    from tlfea.utils.mesh_manager import MeshManager
+    from tlfea.utils.pressure import distance_pressure_field
+    from tlfea.utils.tetmesh import box_t10_mesh
+
+    REF = "/root/reference/data/meshes/T10"
+    dtype = np.float32
+    mm = MeshManager()
+    if kind == "collision":  # sphere drop
+        node, ele = os.path.join(REF, "sphere.1.node"), os.path.join(REF, "sphere.1.ele")
+        if os.path.exists(node):
+            a = mm.load_mesh(node, ele, "a")
+            b = mm.load_mesh(node, ele, "b")
+        else:
+            n0, c0 = box_t10_mesh(0.5, 0.5, 0.5, 4, 4, 2)
+            a, b = mm.add_mesh(n0, c0, "a"), mm.add_mesh(n0, c0, "b")
+        za = mm.mesh_nodes(a)[:, 2]
+        mm.translate_mesh(b, (0.0, 0.0, za.max() - za.min() + 0.002))
+        meshes, window, max_pairs, dt = (a, b), 256, 4096, 5e-4
+        falling, v_init = b, -1.0  # contact within the warmup steps
+        rest_nodes = False
+    else:  # dragon item drop
+        node, ele = (os.path.join(REF, "item_drop/dragon.node"),
+                     os.path.join(REF, "item_drop/dragon.ele"))
+        if os.path.exists(node):
+            item = mm.load_mesh(node, ele, "dragon")
+        else:
+            ni, ci = box_t10_mesh(0.3, 0.3, 0.3, 6, 6, 6)
+            item = mm.add_mesh(ni, ci, "box_item")
+        inodes = mm.mesh_nodes(item)
+        ext = inodes.max(axis=0) - inodes.min(axis=0)
+        fn, fc = box_t10_mesh(2.5 * ext[0], 2.5 * ext[1], 0.2 * ext[2], 6, 6, 1)
+        floor = mm.add_mesh(fn, fc, "floor")
+        mm.translate_mesh(floor, (inodes[:, 0].min() - 0.75 * ext[0],
+                                  inodes[:, 1].min() - 0.75 * ext[1],
+                                  inodes[:, 2].min() - 0.2 * ext[2] - 0.005))
+        meshes, window, max_pairs, dt = (item, floor), 256, 8192, 2e-4
+        falling, v_init = item, -0.5
+        rest_nodes = True
+    for mid in meshes:
+        inst = mm.instances[mid]
+        lc = (mm.elements[inst.elem_offset: inst.elem_offset + inst.n_elems]
+              - inst.node_offset)
+        mm.set_scalar_field(
+            mid, distance_pressure_field(mm.mesh_nodes(mid), lc, 1e6))
+    scene = mm.scene(reorder=True)  # band-minimizing relabeling
+    nodes, conn = scene.nodes, scene.conn
+
+    lam, mu = lame_from_E_nu(1e6, 0.3)
+    mat = SVK(lam=jnp.asarray(lam, dtype), mu=jnp.asarray(mu, dtype),
+              eta_damp=jnp.asarray(1e2, dtype), lam_damp=jnp.asarray(1e2, dtype))
+    zmin = nodes[:, 2].min()
+    zext = nodes[:, 2].max() - zmin
+    thresh = 1e-9 if kind != "collision" else 0.05 * zext
+    fixed = np.nonzero(nodes[:, 2] < zmin + thresh)[0]
+    system = System(
+        elems=feat10.build(nodes, conn, rho=1000.0, dtype=dtype),
+        material=mat,
+        constraints=FixedCoefs.from_indices(fixed, nodes.astype(dtype)),
+    )
+    state = StepState.rest(system, nodes.astype(dtype))
+    # Initial downward velocity on the falling body so contact happens
+    # inside the warmup (pure free fall to the reference drop heights takes
+    # hundreds of dt=2e-4 steps; the timed region must be contact-rich).
+    fall_nodes = scene.mesh_node_ids(falling)
+    v0 = np.zeros_like(nodes, dtype=dtype)
+    v0[fall_nodes, 2] = v_init
+    state = state.replace(v=jnp.asarray(v0))
+    collision = HydroelasticCollision(
+        conn, scene.elem_mesh_ids, scene.pressures.astype(dtype),
+        window=window, max_pairs=max_pairs,
+        rest_nodes=nodes if rest_nodes else None,
+    )
+    return (system, state, collision, HydroelasticParams(friction=dtype(0.3)),
+            conn, dt)
+
+
+def run_collision(kind, warm=15, timed=40):
+    """Collision-coupled converged throughput (VERDICT-r4 item 4): the full
+    broadphase -> narrowphase -> forces -> implicit-Newton-solve step on the
+    reference collision workloads, steady-state steps/s plus a per-phase
+    in-scan breakdown (the reference prints per-phase averages,
+    `test_sphere_drop_collision.cc:448-473`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tlfea.ops import pallas_fem
+    from tlfea.simulation import Simulation, gravity_force
+    from tlfea.solvers import newton
+    from tlfea.solvers.coarse import build_coarse_precond
+
+    dtype = np.float32
+    system, state, collision, col_params, conn, dt = _collision_scene(kind)
+    n_elem = conn.shape[0]
+    f_grav = gravity_force(system)
+    f_scale = float(jnp.sqrt(jnp.sum(f_grav * f_grav)))
+    params = newton.NewtonParams(
+        dt=dtype(dt), rho=dtype(1e8),
+        inner_atol=dtype(2.5e-2 * f_scale), inner_rtol=dtype(0.0),
+        outer_tol=dtype(0.0), max_outer=1, max_inner=6,
+        cg_rtol=dtype(1e-3), cg_max_iter=50, ew_eta_max=dtype(0.5),
+    )
+    try:  # probe the Pallas path (falls back to XLA einsums on CPU drivers)
+        psys = pallas_fem.with_pallas(system, banded="auto")
+        _s, _ = newton.make_step(psys, params)(state, f_grav)
+        import jax as _jax
+
+        _jax.block_until_ready(_s)
+        system = psys
+    except Exception as e:  # pragma: no cover
+        print(f"[{kind}] pallas path unavailable ({type(e).__name__}: "
+              f"{str(e)[:300]}); XLA path", file=sys.stderr)
+    try:
+        coarse = build_coarse_precond(system, state.x, float(params.dt),
+                                      float(params.rho))
+    except Exception:
+        coarse = None
+    sim = Simulation(system, state, newton.stepper(params, coarse=coarse),
+                     base_f_ext=f_grav, collision=collision,
+                     collision_params=col_params)
+    # Warmup: compiles + the initial free-fall transient (contact onset).
+    for _ in range(warm):
+        sim.step()
+    jax.block_until_ready(sim.state.x)
+    t0 = time.perf_counter()
+    its = []
+    for _ in range(timed):
+        d = sim.step()
+        its.append((d.get("newton_iters", 0), d.get("cg_iters", 0)))
+    jax.block_until_ready(sim.state.x)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(sim.state.x)).all(), "diverged"
+    nit = np.median([int(np.asarray(a)) for a, _ in its])
+    cgit = np.median([int(np.asarray(b)) for _, b in its])
+    n_contacts = (int(np.asarray(sim.last_patches.n_contacts))
+                  if sim.last_patches is not None else 0)
+
+    # Per-phase breakdown, in-scan (dispatch-free): broadphase / narrowphase
+    # / forces at the CURRENT (contact-rich) configuration.
+    x_now, v_now = sim.state.x, sim.state.v
+
+    def scan_time(fn, n=30):
+        @jax.jit
+        def run(x):
+            def body(x, _):
+                f = fn(x)
+                return x + 1e-12 * f, jnp.sum(f)
+
+            return jax.lax.scan(body, x, None, length=n)
+
+        out = run(x_now)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = run(x_now)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    full_ms = scan_time(lambda x: collision.step(x, v_now, col_params)[0])
+
+    def broad_only(x):
+        _p, valid, _ = collision.broadphase_fn(x)
+        return jnp.zeros_like(x) + valid.sum() * jnp.asarray(0.0, x.dtype)
+
+    def broad_narrow(x):
+        pairs, valid, _ = collision.broadphase_fn(x)
+        patches = collision.narrowphase_fn(x, pairs, valid)
+        return jnp.zeros_like(x) + patches.area.sum() * 0.0
+
+    broad_ms = scan_time(broad_only)
+    bn_ms = scan_time(broad_narrow)
+    steps_per_sec = timed / wall
+    ms_per_step = wall / timed * 1e3
+    target = 1.0 / (0.010 * (n_elem / 12500.0))
+    info = {
+        "elems": n_elem,
+        "ms_per_step": round(ms_per_step, 2),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "newton_per_step": float(nit),
+        "cg_per_step": float(cgit),
+        "contacts": n_contacts,
+        "collision_ms_in_scan": round(full_ms, 2),
+        "broadphase_ms": round(broad_ms, 2),
+        "narrowphase_ms": round(bn_ms - broad_ms, 2),
+        "forces_ms": round(full_ms - bn_ms, 2),
+        "solve_ms_est": round(ms_per_step - full_ms, 2),
+        "overflow_events": sim.overflow_events,
+        "vs_target": round(steps_per_sec / target, 4),
+    }
+    _add_roofline(info, system, wall / timed)
+    print(f"[{kind}] {info}", file=sys.stderr)
+    return info
+
+
 def _series_json(series):
     good = {k: v for k, v in series.items() if "error" not in v}
     if not good:
@@ -335,7 +542,8 @@ def main():
     # Headline scales FIRST (10k, 100k, ancf_shell): if the driver's hard
     # timeout fires mid-series, the scales that matter are already recorded.
     scales = os.environ.get(
-        "TLFEA_BENCH_SCALES", "10k,100k,ancf_shell,1k,10k_tight"
+        "TLFEA_BENCH_SCALES",
+        "10k,100k,ancf_shell,1k,collision,dragon,10k_tight",
     ).split(",")
     series = {}
     for name in scales:
@@ -348,6 +556,8 @@ def main():
         try:
             if name == "ancf_shell":
                 series[name] = run_ancf_shell()
+            elif name in ("collision", "dragon"):
+                series[name] = run_collision(name)
             elif name.endswith("_tight"):
                 # Tight convergence: 0.5% of the load norm. The measured f32
                 # residual floor post displacement-space rework is ~4e-4 of load

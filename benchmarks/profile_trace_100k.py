@@ -66,11 +66,17 @@ params = newton.NewtonParams(
     cg_rtol=dtype(1e-3), cg_max_iter=50, ew_eta_max=dtype(0.5),
 )
 system = pallas_fem.with_pallas(system, banded="auto")
-big = nodes.shape[0] > 50_000
-coarse = build_coarse_precond(system, state.x, float(params.dt),
-                              float(params.rho), ranges=big,
-                              max_agg=1024 if big else 512,
-                              mm_dtype="bfloat16" if big else None)
+# Mirror bench.py's scale branch exactly: single-block banded meshes (the 1k
+# scale) take the RESIDENT path without the coarse correction.
+if (getattr(system.pallas, "banded", None) is not None
+        and system.pallas.banded.n_blocks == 1):
+    coarse = None
+else:
+    big = nodes.shape[0] > 50_000
+    coarse = build_coarse_precond(system, state.x, float(params.dt),
+                                  float(params.rho), ranges=big,
+                                  max_agg=1024 if big else 512,
+                                  mm_dtype="bfloat16" if big else None)
 roll = newton.make_rollout(system, params, ROLLOUT, coarse=coarse,
                            precond_refresh=8)
 

@@ -167,6 +167,11 @@ class HydroelasticCollision:
             return f, patches, overflow
 
         self._step = _step
+        # Exposed for per-phase profiling (the reference prints per-phase
+        # averages, `test_sphere_drop_collision.cc:448-473`).
+        self.broadphase_fn = _broad
+        self.narrowphase_fn = _narrow
+        self.forces_fn = _forces
 
     def step(self, x, v=None, params: HydroelasticParams | None = None):
         """-> (f_ext (n_nodes, 3), ContactPatches, window_overflow: bool)."""
