@@ -187,8 +187,14 @@ def _measure(name, roll, state, f_ext, rollout, n_elem, system):
     ms_per_step = wall / rollout * 1e3
     steps_per_sec = 1.0 / (wall / rollout)
     target = 1.0 / (0.010 * (n_elem / 12500.0))
+    pal = getattr(system, "pallas", None)
+    bnd = getattr(pal, "banded", None) if pal is not None else None
+    path = ("resident" if bnd is not None and bnd.n_blocks == 1
+            else "banded" if bnd is not None
+            else "flat" if pal is not None else "xla")
     info = {
         "elems": n_elem,
+        "path": path,
         "ms_per_step": round(ms_per_step, 2),
         "steps_per_sec": round(steps_per_sec, 3),
         "newton_per_step": float(np.median(np.asarray(nit))),
@@ -218,16 +224,25 @@ def _add_roofline(info, system, sec):
         info["chip"] = kind
 
 
-def run_ancf_shell(rollout=20, tol=2.5e-2, nx=28, ny=28):
-    """ANCF3443 shell-plate scale (VERDICT-r2 item 3): ~10k DOF of the
-    reference's stress-test element (48 stiffness QPs — shell QP load,
-    `SyncedNewton.cu:101`), through the same converged-rollout protocol as
-    the T10 scales.
+def run_ancf_shell(rollout=20, tol=2.5e-2, nx=72, ny=72):
+    """ANCF3443 shell-plate at stress scale (VERDICT-r4 item 6): 5,184
+    elements / 64k DOF of the reference's heaviest element (48 stiffness
+    QPs x 16 shape fns, `SyncedNewton.cu:101`), through the same
+    converged-rollout protocol as the T10 scales, with the frozen coarse
+    correction and roofline/path fields.
+
+    Path note: the BANDED kernels cannot engage for ANCF3443 at this scale
+    by construction — the per-block static grad_N table is Q*S*3 = 2,304
+    floats/element = 9.4 MB per 1024-element block (vs 150 floats for
+    FEAT10), which alone exceeds the ~16 MB double-buffered VMEM budget
+    regardless of node ordering. The FLAT Pallas path (per-element kernels
+    + XLA gather/scatter) is the production shell path; recorded as
+    `path` in the JSON.
 
     vs_target normalization: the north-star is stated per T10 element; ANCF
     work per element differs, so the target uses QP*S-equivalent elements
     (E_eff = E * (48*16)/(5*10)) — equal per-step quadrature work, the
-    honest apples-to-apples throughput comparison."""
+    honest apples-to-apples throughput comparison (recorded as `e_eff`)."""
     import jax
     import jax.numpy as jnp
 
@@ -280,7 +295,17 @@ def run_ancf_shell(rollout=20, tol=2.5e-2, nx=28, ny=28):
         print(f"[ancf_shell] pallas path unavailable ({type(e).__name__}: "
               f"{str(e)[:500]}); XLA path", file=sys.stderr)
 
-    roll = newton.make_rollout(system, params, rollout, precond_refresh=8)
+    from tlfea.solvers.coarse import build_coarse_precond
+
+    try:
+        coarse = build_coarse_precond(system, state.x, float(params.dt),
+                                      float(params.rho))
+    except Exception as e:  # pragma: no cover
+        print(f"[ancf_shell] coarse precond unavailable ({type(e).__name__}:"
+              f" {str(e)[:300]})", file=sys.stderr)
+        coarse = None
+    roll = newton.make_rollout(system, params, rollout, coarse=coarse,
+                               precond_refresh=8)
     s, (nit, cgit) = roll(state, f_ext)
     jax.block_until_ready(s)
     t0 = time.perf_counter()
@@ -293,9 +318,15 @@ def run_ancf_shell(rollout=20, tol=2.5e-2, nx=28, ny=28):
     steps_per_sec = 1.0 / (wall / rollout)
     e_eff = n_elem * (48 * 16) / (5 * 10)
     target = 1.0 / (0.010 * (e_eff / 12500.0))
+    pal = getattr(system, "pallas", None)
+    path = ("banded" if getattr(pal, "banded", None) is not None
+            else "flat" if pal is not None else "xla")
     info = {
         "elems": n_elem,
         "dofs": 3 * n_coef,
+        "e_eff": int(e_eff),  # QP*S-equivalent T10 elements (target basis)
+        "path": path,
+        "coarse": coarse is not None,
         "ms_per_step": round(ms_per_step, 2),
         "steps_per_sec": round(steps_per_sec, 3),
         "newton_per_step": float(np.median(np.asarray(nit))),

@@ -134,24 +134,58 @@ def banded_kernel_cost(handle, material, itemsize=4, hv_itemsize=None):
                 primal_bytes=primal_bytes, primal_flops=primal_flops)
 
 
+def flat_kernel_cost(system, itemsize=4):
+    """(bytes, flops) per primal / Hv pass of the FLAT Pallas path
+    (`pallas_fem.g_and_hvp`): per-element static tables + the XLA
+    row-granular gather/scatter of node values around each kernel. A LOWER
+    bound (layout transposes between the gathers and the (8,128) kernel
+    tiles are not counted)."""
+    from tlfea.ops.pallas_fem import tile_material
+
+    pal = system.pallas
+    mops = tile_material(system.material)
+    E, S = system.elems.conn.shape
+    Q = int(system.elems.grad_N.shape[1])
+    PR = Q * mops.prep_rows
+    static_vals = Q * S * 3 + Q + S * S + S  # gN, dV, Me, conn
+    tables = pal.E_pad * static_vals * itemsize
+    gs = E * S * 3 * 2 * itemsize  # gather + scatter of (E,S,3) node rows
+    prep = pal.E_pad * PR * itemsize
+    idx = 1 if mops.damped else 0
+    key = getattr(mops, "name", "svk")
+    hv_core = _HV_CORE.get(key, _HV_CORE["svk"])[idx]
+    pr_core = _PRIMAL_CORE.get(key, _PRIMAL_CORE["svk"])[idx]
+    nch = 9 if mops.damped else 6
+    hv_flops = pal.E_pad * (Q * (18 * S + hv_core + 20 * S) + 6 * S * S)
+    primal_flops = pal.E_pad * (
+        Q * (nch * 3 * S + pr_core + 20 * S) + 6 * S * S
+    )
+    return dict(hv_bytes=tables + gs + prep, hv_flops=hv_flops,
+                primal_bytes=tables + gs + prep, primal_flops=primal_flops)
+
+
 def step_cost(system, newton_per_step, cg_per_step, itemsize=4,
               hv_itemsize=None):
     """Estimated (bytes, flops) moved per converged Newton step through the
-    banded kernels + block-Jacobi preconditioner apply.
+    element kernels + block-Jacobi preconditioner apply.
 
     Per step: `newton_per_step` primal+prep passes, `cg_per_step` Hv
     kernels, and per CG iteration one block-Jacobi apply (read n 3x3 blocks
-    + ~6 n-vector touches for the CG recurrences). Returns None when the
-    system has no banded handle (cost of the flat path's XLA gather chain
-    is not modeled).
-    """
+    + ~6 n-vector touches for the CG recurrences). Uses the banded kernels'
+    DMA schedule when the system carries a banded handle, else the flat
+    Pallas path's table+gather/scatter model (`flat_kernel_cost`); returns
+    None for plain-XLA systems."""
     pal = getattr(system, "pallas", None)
     bnd = getattr(pal, "banded", None) if pal is not None else None
-    if bnd is None:
+    if bnd is not None:
+        kc = banded_kernel_cost(bnd, system.material, itemsize=itemsize,
+                                hv_itemsize=hv_itemsize)
+        n = bnd.n
+    elif pal is not None and getattr(pal, "hv_fn", None) is not None:
+        kc = flat_kernel_cost(system, itemsize=itemsize)
+        n = int(system.elems.n_coef)
+    else:
         return None
-    kc = banded_kernel_cost(bnd, system.material, itemsize=itemsize,
-                            hv_itemsize=hv_itemsize)
-    n = bnd.n
     pc_bytes = n * (9 + 6 * 3) * itemsize  # blocks + CG vector recurrences
     pc_flops = n * (15 + 6) * 3
     bytes_step = (newton_per_step * kc["primal_bytes"]
