@@ -513,26 +513,38 @@ def run_collision(kind, warm=15, timed=40):
     sim = Simulation(system, state, newton.stepper(params, coarse=coarse),
                      base_f_ext=f_grav, collision=collision,
                      collision_params=col_params)
-    # Warmup: compiles + the initial free-fall transient (contact onset).
+    # Warmup: compiles + the initial free-fall transient (contact onset),
+    # host-driven so capacity overflow auto-grows before the timed region.
     for _ in range(warm):
         sim.step()
     jax.block_until_ready(sim.state.x)
-    t0 = time.perf_counter()
-    its = []
-    for _ in range(timed):
-        d = sim.step()
-        its.append((d.get("newton_iters", 0), d.get("cg_iters", 0)))
-    jax.block_until_ready(sim.state.x)
-    wall = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(sim.state.x)).all(), "diverged"
-    nit = np.median([int(np.asarray(a)) for a, _ in its])
-    cgit = np.median([int(np.asarray(b)) for _, b in its])
     n_contacts = (int(np.asarray(sim.last_patches.n_contacts))
                   if sim.last_patches is not None else 0)
+    collision = sim.collision  # may have been regrown
+
+    # Timed region: FUSED collision+solve lax.scan (the host-driven loop
+    # pays ~4 tunnel round trips per step — measured 23.7 ms/step of pure
+    # dispatch at 512 elems; production collision runs scan).
+    def force_fn(x, v):
+        f, _patches, ovf = collision.step(x, v, col_params)
+        return f, ovf
+
+    roll = newton.make_coupled_rollout(system, params, timed, force_fn,
+                                       coarse=coarse, precond_refresh=8)
+    s, _, _ = roll(sim.state, f_grav)  # compile + warm
+    jax.block_until_ready(s.x)
+    t0 = time.perf_counter()
+    s, (nit_a, cgit_a), ovf = roll(s, f_grav)
+    jax.block_until_ready(s.x)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(s.x)).all(), "diverged"
+    assert not bool(np.asarray(ovf)), "collision capacity overflowed in the timed rollout"
+    nit = float(np.median(np.asarray(nit_a)))
+    cgit = float(np.median(np.asarray(cgit_a)))
 
     # Per-phase breakdown, in-scan (dispatch-free): broadphase / narrowphase
     # / forces at the CURRENT (contact-rich) configuration.
-    x_now, v_now = sim.state.x, sim.state.v
+    x_now, v_now = s.x, s.v
 
     def scan_time(fn, n=30):
         @jax.jit

@@ -75,6 +75,15 @@ def main(n_steps=10):
     sh_fin2, _ = roll_sh(sh_fin, sf_ext)
     jax.block_until_ready(sh_fin2)
     sh_ms = (time.monotonic() - t0) / n_steps * 1e3
+    # Per-dispatch breakdown: repeated dispatches separate the fixed host/
+    # tunnel cost from the device program (trace r5: device span 4.1 ms/step
+    # vs 20.9 host — most of the sharded "slowdown" was host-side).
+    for k in range(3):
+        t0 = time.monotonic()
+        sh_fin2, _ = roll_sh(sh_fin2, sf_ext)
+        jax.block_until_ready(sh_fin2)
+        print(f"  sharded dispatch {k}: "
+              f"{(time.monotonic()-t0)/n_steps*1e3:.2f} ms/step", flush=True)
 
     xr, xs = np.asarray(ref_fin.x), np.asarray(sh_fin.x)
     assert np.isfinite(xs).all(), "sharded compiled rollout non-finite"

@@ -28,5 +28,20 @@ else:  # pragma: no cover — manual TPU regression runs
 
     import jax  # noqa: E402
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tlfea_jit_cache")
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "out", "jit_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-apply the `smoke` marker (fast gate tier, see CLAUDE.md):
+    everything not slow/tpu/heavy. `pytest -m smoke` must stay < 5 min on
+    this box — mark anything that threatens that `heavy` (interpret-mode
+    kernel execution) or `slow` (multi-step physics)."""
+    import pytest
+
+    for item in items:
+        if not any(m.name in ("slow", "tpu", "heavy")
+                   for m in item.iter_markers()):
+            item.add_marker(pytest.mark.smoke)

@@ -690,25 +690,71 @@ def make_precond_blocks(elems, material, dtype=np.float32, interpret=False, tpd=
     Returns (fn, tpd): fn(xT (S*3, B, L)) -> (S*6, B, L) packed-symmetric
     channels (SYM6 order); the caller scatters, unpacks, and adds
     mass/constraint terms (see `solvers.common.precond_blocks`).
+
+    Heavy elements run the same QP-chunked grid as `make_hv_kernels`.
     """
     if tpd is None:
         tpd = prepare_tp(elems, dtype=dtype)
     Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
     n_blocks = E_pad // EBLK
-    body = partial(
-        _precond_body, Q=Q, S=S, lam=float(material.lam), mu=float(material.mu),
-        tmask=elems.trans_mask,
-    )
+    NC, Qc = qp_chunks(Q, S, 0)
+    if NC == 1:
+        body = partial(
+            _precond_body, Q=Q, S=S, lam=float(material.lam), mu=float(material.mu),
+            tmask=elems.trans_mask,
+        )
+
+        def kernel(pe_ref, gN_ref, dV_ref, out_ref):
+            body(pe_ref, gN_ref, dV_ref, out_ref)
+
+        def fn(uT):
+            return _pallas_call(
+                kernel, S * 6, n_blocks,
+                [uT, tpd["gN_T"], tpd["dV_T"]],
+                interpret=interpret,
+            )
+
+        return fn, tpd
+
+    Q_pad = NC * Qc
+    gN_c = _pad_q_rows(tpd["gN_T"], S * 3, Q, Q_pad)
+    dV_c = _pad_q_rows(tpd["dV_T"], 1, Q, Q_pad)
+    lam_f, mu_f = float(material.lam), float(material.mu)
+    tmask = elems.trans_mask
 
     def kernel(pe_ref, gN_ref, dV_ref, out_ref):
-        body(pe_ref, gN_ref, dV_ref, out_ref)
+        qc = pl.program_id(1)
+
+        @pl.when(qc == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        fe = _precond_fe(
+            lambda a, c: pe_ref[a * 3 + c],
+            lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
+            lambda q: dV_ref[q],
+            Q=Qc, S=S, lam=lam_f, mu=mu_f, tmask=tmask,
+        )
+        for a in range(S):
+            for c in range(6):
+                out_ref[a * 6 + c] += fe[a][c]
 
     def fn(uT):
-        return _pallas_call(
-            kernel, S * 6, n_blocks,
-            [uT, tpd["gN_T"], tpd["dV_T"]],
+        B = uT.shape[1]
+        ins = [uT, gN_c, dV_c]
+        in_specs = [
+            pl.BlockSpec((S * 3, SUB, LANE), lambda b, q: (0, b, 0)),
+            pl.BlockSpec((Qc * S * 3, SUB, LANE), lambda b, q: (q, b, 0)),
+            pl.BlockSpec((Qc, SUB, LANE), lambda b, q: (q, b, 0)),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks, NC),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((S * 6, SUB, LANE), lambda b, q: (0, b, 0)),
+            out_shape=jax.ShapeDtypeStruct((S * 6, B, LANE), uT.dtype),
             interpret=interpret,
-        )
+        )(*ins)
 
     return fn, tpd
 
@@ -793,7 +839,7 @@ def make_element_contrib(elems, material, dtype=np.float32, interpret=False, tpd
 
 def _primal_fe(
     pget, gn, dv_at, me_at, prep_write,
-    *, Q, S, mops, tmask=None,
+    *, Q, S, mops, tmask=None, mass=True,
 ):
     """Core of the primal contribution + Hv-prep pass: returns the per-slot
     output tiles fe[a][i] (INCLUDING the Me dv/dt mass term) and emits the
@@ -823,12 +869,19 @@ def _primal_fe(
                 c = (P[i][0] * gn(q, a, 0) + P[i][1] * gn(q, a, 1) + P[i][2] * gn(q, a, 2)) * w
                 fe[a][i] = c if fe[a][i] is None else fe[a][i] + c
 
-    for a in range(S):
-        for i in range(3):
-            acc = fe[a][i]
-            for b in range(S):
-                acc = acc + me_at(a, b) * pget(b, 6 + i)
-            fe[a][i] = acc
+    if mass:
+        for a in range(S):
+            for i in range(3):
+                acc = fe[a][i]
+                for b in range(S):
+                    acc = acc + me_at(a, b) * pget(b, 6 + i)
+                fe[a][i] = acc
+    else:
+        zero = pget(0, 0) * 0.0
+        for a in range(S):
+            for i in range(3):
+                if fe[a][i] is None:  # all-zero padded chunk
+                    fe[a][i] = zero
     return fe
 
 
@@ -863,7 +916,7 @@ def _primal_prep_body(
 
 def _hv_fe(
     pget, prep_at, gn, dv_at, me_at, dt,
-    *, Q, S, mops, tmask=None,
+    *, Q, S, mops, tmask=None, mass=True,
 ):
     """Core of the specialized Hessian-vector product: returns the per-slot
     element output tiles fe[a][i] (INCLUDING the (1/dt) Me p mass term) from
@@ -889,13 +942,14 @@ def _hv_fe(
                 c = (dP[i][0] * gn(q, a, 0) + dP[i][1] * gn(q, a, 1) + dP[i][2] * gn(q, a, 2)) * w
                 fe[a][i] = c if fe[a][i] is None else fe[a][i] + c
 
-    for a in range(S):
-        for i in range(3):
-            acc = None
-            for b in range(S):
-                t = me_at(a, b) * pget(b, i)
-                acc = t if acc is None else acc + t
-            fe[a][i] = fe[a][i] + inv_dt * acc
+    if mass:
+        for a in range(S):
+            for i in range(3):
+                acc = None
+                for b in range(S):
+                    t = me_at(a, b) * pget(b, i)
+                    acc = t if acc is None else acc + t
+                fe[a][i] = fe[a][i] + inv_dt * acc
     return fe
 
 
@@ -936,25 +990,184 @@ def _hv_body(
             out_ref[a * 3 + i] = fe[a][i]
 
 
+def qp_chunks(Q, S, prep_rows, vmem_cap=4 * 1024 * 1024):
+    """(NC, Qc): split the QP axis into NC chunks of Qc quadrature points so
+    the per-grid-step static tables (gN chunk, dominated by Qc*S*3 rows)
+    stay within `vmem_cap` double-buffered. NC == 1 for light elements
+    (FEAT10: Q=5) — the unchunked kernels are byte-identical. Heavy
+    elements (ANCF3443: Q=48, S=16 -> gN 9.4 MB/block) get NC > 1: without
+    chunking the Mosaic compile blows the ~16 MB scoped-VMEM budget (the
+    tpu_compile_helper crash at the 5k-element shell bench scale)."""
+    row_bytes = SUB * LANE * 4 * 2  # double-buffered f32 rows
+    rows_per_qp = S * 3 + 1 + prep_rows
+    if rows_per_qp * Q * row_bytes <= 2 * vmem_cap:
+        return 1, Q  # unchunked kernels fit (FEAT10, ANCF3243)
+    qc = max(1, min(Q, vmem_cap // (row_bytes * rows_per_qp)))
+    nc = -(-Q // qc)
+    return nc, -(-Q // nc)
+
+
+def _pad_q_rows(a, rows_per_q, Q, Q_pad):
+    """Pad a Q-major (Q*rows_per_q, B, L) table to Q_pad QPs with zeros
+    (zero dV -> padded QPs contribute exactly zero)."""
+    if Q_pad == Q:
+        return a
+    return jnp.pad(a, ((0, (Q_pad - Q) * rows_per_q), (0, 0), (0, 0)))
+
+
+def _primal_prep_chunked_body(pe_ref, gN_ref, dV_ref, Me_ref, out_ref,
+                              prep_ref, *, Qc, S, mops, tmask=None):
+    """QP-chunked `_primal_prep_body`: grid (blocks, chunks), out revisited
+    across the minor chunk axis (zero-init on chunk 0; consistent-mass term
+    added once there). Padded QPs carry zero gN/dV: Du = 0 -> F = I -> a
+    well-defined rest-state prep row and a zero-weighted contribution."""
+    qc = pl.program_id(1)
+
+    @pl.when(qc == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    fe = _primal_fe(
+        lambda a, c: pe_ref[a * 9 + c],
+        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
+        lambda q: dV_ref[q],
+        lambda a, b: Me_ref[a * S + b],
+        lambda row, tile: prep_ref.__setitem__(row, tile),
+        Q=Qc, S=S, mops=mops, tmask=tmask, mass=False,
+    )
+    for a in range(S):
+        for i in range(3):
+            out_ref[a * 3 + i] += fe[a][i]
+
+    @pl.when(qc == 0)
+    def _():
+        # Consistent-mass dv term, q-independent: added exactly once.
+        for a in range(S):
+            for i in range(3):
+                acc = None
+                for b in range(S):
+                    t = Me_ref[a * S + b] * pe_ref[b * 9 + 6 + i]
+                    acc = t if acc is None else acc + t
+                out_ref[a * 3 + i] += acc
+
+
+def _hv_chunked_body(dt_ref, pT_ref, prep_ref, gN_ref, dV_ref, Me_ref,
+                     out_ref, *, Qc, S, mops, tmask=None):
+    """QP-chunked `_hv_body` (same revisit-accumulation contract)."""
+    qc = pl.program_id(1)
+    dt = dt_ref[0, 0]
+
+    @pl.when(qc == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    fe = _hv_fe(
+        lambda a, c: pT_ref[a * 3 + c],
+        lambda row: prep_ref[row],
+        lambda q, a, j: gN_ref[(q * S + a) * 3 + j],
+        lambda q: dV_ref[q],
+        lambda a, b: Me_ref[a * S + b],
+        dt,
+        Q=Qc, S=S, mops=mops, tmask=tmask, mass=False,
+    )
+    for a in range(S):
+        for i in range(3):
+            out_ref[a * 3 + i] += fe[a][i]
+
+    @pl.when(qc == 0)
+    def _():
+        inv_dt = 1.0 / dt
+        for a in range(S):
+            for i in range(3):
+                acc = None
+                for b in range(S):
+                    t = Me_ref[a * S + b] * pT_ref[b * 3 + i]
+                    acc = t if acc is None else acc + t
+                out_ref[a * 3 + i] += inv_dt * acc
+
+
 def make_hv_kernels(elems, material, dtype=np.float32, interpret=False, tpd=None):
     """Build (primal_prep_fn, hv_fn, n_prep_rows) for the specialized
     Newton-PCG Hessian-vector path (any `tile_material`, + Kelvin-Voigt).
 
     primal_prep_fn(pe_T (S*9, B, L)) -> (out_T (S*3, B, L), prep_T (PR, B, L))
     hv_fn(dt (1,1), p_T (S*3, B, L), prep_T) -> dout_T (S*3, B, L)
+
+    Heavy elements (large Q*S, e.g. the 48-QP ANCF3443 shell) run a
+    QP-chunked grid (blocks, chunks) so the static gN chunk fits VMEM; see
+    `qp_chunks`. PR returned is the PADDED prep row count.
     """
     if tpd is None:
         tpd = prepare_tp(elems, dtype=dtype)
     Q, S, E_pad = tpd["Q"], tpd["S"], tpd["E_pad"]
     n_blocks = E_pad // EBLK
     mops = tile_material(material)
-    PR = Q * mops.prep_rows
+    NC, Qc = qp_chunks(Q, S, mops.prep_rows)
+    Q_pad = NC * Qc
+    PR = Q_pad * mops.prep_rows
+    PRc = Qc * mops.prep_rows
 
+    if NC == 1:
+        pp_body = partial(
+            _primal_prep_body, Q=Q, S=S, mops=mops, tmask=elems.trans_mask,
+        )
+        hv_body = partial(
+            _hv_body, Q=Q, S=S, mops=mops, tmask=elems.trans_mask,
+        )
+
+        def primal_prep_fn(pe_T):
+            B = pe_T.shape[1]
+            outs = [
+                jax.ShapeDtypeStruct((S * 3, B, LANE), pe_T.dtype),
+                jax.ShapeDtypeStruct((PR, B, LANE), pe_T.dtype),
+            ]
+            ins = [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]]
+            in_specs = [
+                pl.BlockSpec((a.shape[0], SUB, LANE), lambda b, r=a.shape[0]: (0, b, 0))
+                for a in ins
+            ]
+            out_specs = [
+                pl.BlockSpec((S * 3, SUB, LANE), lambda b: (0, b, 0)),
+                pl.BlockSpec((PR, SUB, LANE), lambda b: (0, b, 0)),
+            ]
+            return pl.pallas_call(
+                lambda *refs: pp_body(*refs),
+                grid=(n_blocks,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=outs,
+                interpret=interpret,
+            )(*ins)
+
+        def hv_fn(dt_arr, p_T, prep_T):
+            B = p_T.shape[1]
+            ins = [dt_arr, p_T, prep_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]]
+            in_specs = [
+                pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+            ] + [
+                pl.BlockSpec((a.shape[0], SUB, LANE), lambda b, r=a.shape[0]: (0, b, 0))
+                for a in ins[1:]
+            ]
+            return pl.pallas_call(
+                lambda *refs: hv_body(*refs),
+                grid=(n_blocks,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((S * 3, SUB, LANE), lambda b: (0, b, 0)),
+                out_shape=jax.ShapeDtypeStruct((S * 3, B, LANE), p_T.dtype),
+                interpret=interpret,
+            )(*ins)
+
+        return primal_prep_fn, hv_fn, PR
+
+    # ---- QP-chunked variants (grid = (blocks, chunks)) -------------------
+    gN_c = _pad_q_rows(tpd["gN_T"], S * 3, Q, Q_pad)
+    dV_c = _pad_q_rows(tpd["dV_T"], 1, Q, Q_pad)
     pp_body = partial(
-        _primal_prep_body, Q=Q, S=S, mops=mops, tmask=elems.trans_mask,
+        _primal_prep_chunked_body, Qc=Qc, S=S, mops=mops,
+        tmask=elems.trans_mask,
     )
     hv_body = partial(
-        _hv_body, Q=Q, S=S, mops=mops, tmask=elems.trans_mask,
+        _hv_chunked_body, Qc=Qc, S=S, mops=mops, tmask=elems.trans_mask,
     )
 
     def primal_prep_fn(pe_T):
@@ -963,18 +1176,20 @@ def make_hv_kernels(elems, material, dtype=np.float32, interpret=False, tpd=None
             jax.ShapeDtypeStruct((S * 3, B, LANE), pe_T.dtype),
             jax.ShapeDtypeStruct((PR, B, LANE), pe_T.dtype),
         ]
-        ins = [pe_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]]
+        ins = [pe_T, gN_c, dV_c, tpd["Me_T"]]
         in_specs = [
-            pl.BlockSpec((a.shape[0], SUB, LANE), lambda b, r=a.shape[0]: (0, b, 0))
-            for a in ins
+            pl.BlockSpec((S * 9, SUB, LANE), lambda b, q: (0, b, 0)),
+            pl.BlockSpec((Qc * S * 3, SUB, LANE), lambda b, q: (q, b, 0)),
+            pl.BlockSpec((Qc, SUB, LANE), lambda b, q: (q, b, 0)),
+            pl.BlockSpec((S * S, SUB, LANE), lambda b, q: (0, b, 0)),
         ]
         out_specs = [
-            pl.BlockSpec((S * 3, SUB, LANE), lambda b: (0, b, 0)),
-            pl.BlockSpec((PR, SUB, LANE), lambda b: (0, b, 0)),
+            pl.BlockSpec((S * 3, SUB, LANE), lambda b, q: (0, b, 0)),
+            pl.BlockSpec((PRc, SUB, LANE), lambda b, q: (q, b, 0)),
         ]
         return pl.pallas_call(
             lambda *refs: pp_body(*refs),
-            grid=(n_blocks,),
+            grid=(n_blocks, NC),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=outs,
@@ -983,18 +1198,20 @@ def make_hv_kernels(elems, material, dtype=np.float32, interpret=False, tpd=None
 
     def hv_fn(dt_arr, p_T, prep_T):
         B = p_T.shape[1]
-        ins = [dt_arr, p_T, prep_T, tpd["gN_T"], tpd["dV_T"], tpd["Me_T"]]
+        ins = [dt_arr, p_T, prep_T, gN_c, dV_c, tpd["Me_T"]]
         in_specs = [
-            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
-        ] + [
-            pl.BlockSpec((a.shape[0], SUB, LANE), lambda b, r=a.shape[0]: (0, b, 0))
-            for a in ins[1:]
+            pl.BlockSpec((1, 1), lambda b, q: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S * 3, SUB, LANE), lambda b, q: (0, b, 0)),
+            pl.BlockSpec((PRc, SUB, LANE), lambda b, q: (q, b, 0)),
+            pl.BlockSpec((Qc * S * 3, SUB, LANE), lambda b, q: (q, b, 0)),
+            pl.BlockSpec((Qc, SUB, LANE), lambda b, q: (q, b, 0)),
+            pl.BlockSpec((S * S, SUB, LANE), lambda b, q: (0, b, 0)),
         ]
         return pl.pallas_call(
             lambda *refs: hv_body(*refs),
-            grid=(n_blocks,),
+            grid=(n_blocks, NC),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((S * 3, SUB, LANE), lambda b: (0, b, 0)),
+            out_specs=pl.BlockSpec((S * 3, SUB, LANE), lambda b, q: (0, b, 0)),
             out_shape=jax.ShapeDtypeStruct((S * 3, B, LANE), p_T.dtype),
             interpret=interpret,
         )(*ins)

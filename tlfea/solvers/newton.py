@@ -693,6 +693,70 @@ def make_rollout(system: System, params: NewtonParams, n_steps: int, coarse=None
     return roll
 
 
+def make_coupled_rollout(system: System, params: NewtonParams, n_steps: int,
+                         force_fn, coarse=None, precond_refresh: int = 1):
+    """Jitted collision-coupled rollout: `roll(state, f_base) -> (state,
+    (newton_iters, cg_iters), any_overflow)` chaining n_steps of
+    [f_ext = f_base + force_fn(x, v); backward-Euler step] in one lax.scan.
+
+    force_fn(x, v) -> (f_col (n,3), overflow bool) — e.g. a closure over
+    `HydroelasticCollision.step`. The overflow flags are OR-reduced across
+    the scan and returned for the caller's capacity check (the deferred
+    overflow contract of `Simulation`, amortized over the whole rollout).
+
+    Why: the host-driven Simulation loop pays ~4 dispatches per step
+    (collision phases + solve); on the axon tunnel each round trip is
+    ~25-30 ms, which dominated the sphere-drop bench (device work ~6 ms).
+    Production collision runs should scan exactly like the dry solver
+    rollouts.
+    """
+    refresh = max(int(precond_refresh), 1)
+    bdata = _banded_data(system)
+    cons_c = _cons_closure(system)
+
+    @jax.jit
+    def _roll(sys_, state: StepState, f_base, co, bd):
+        if cons_c is not None:
+            sys_ = sys_.replace(constraints=cons_c)
+
+        def fresh_inv(st):
+            return inv3x3(
+                precond_blocks(st.v, st.x, params.dt, params.rho, sys_,
+                               u_prev=st.u, bdata=bd),
+                eps=1e-30,
+            )
+
+        def body(carry, k):
+            st, inv_b, ovf = carry
+            if refresh > 1:
+                inv_b = jax.lax.cond(
+                    k % refresh == 0, lambda s, b: fresh_inv(s),
+                    lambda s, b: b, st, inv_b,
+                )
+            f_col, o = force_fn(st.x, st.v)
+            ns, d = _step(sys_, st, params, f_base + f_col, co,
+                          inv_blocks=inv_b if refresh > 1 else None, bdata=bd)
+            return (ns, inv_b, jnp.logical_or(ovf, o)), (
+                d["newton_iters"], d["cg_iters"])
+
+        inv0 = fresh_inv(state)
+        (s, _, ovf), its = jax.lax.scan(
+            body, (state, inv0, jnp.asarray(False)), jnp.arange(n_steps)
+        )
+        return s, its, ovf
+
+    def roll(state: StepState, f_base):
+        if state.u is None:
+            from tlfea.elements.assembly import node_ref
+
+            state = state.replace(u=state.x - node_ref(system.elems))
+        if state.dv is None:
+            state = state.replace(dv=jnp.zeros_like(state.v))
+        return _roll(system, state, f_base, coarse, bdata)
+
+    return roll
+
+
 def stepper(params, coarse=None):
     """Jitted step(system, state, f_ext) — the `Simulation` contract; the
     system is a pytree argument, so constraint targets / material parameters
