@@ -87,7 +87,11 @@ def main():
     ext = inodes.max(axis=0) - inodes.min(axis=0)
     fl_x, fl_y = 2.5 * ext[0], 2.5 * ext[1]
     fl_h = 0.2 * ext[2]
-    floor_nodes, floor_conn = box_t10_mesh(fl_x, fl_y, fl_h, 6, 6, 1)
+    # nz >= 2 is load-bearing: with one element through the thickness every
+    # corner node is on the surface, so the floor's per-tet affine pressure
+    # fields are identically zero and hydro contact silently never fires
+    # (see tests/test_sharding.py).
+    floor_nodes, floor_conn = box_t10_mesh(fl_x, fl_y, fl_h, 6, 6, 2)
     floor = mm.add_mesh(floor_nodes, floor_conn, "floor")
     mm.translate_mesh(
         floor,

@@ -60,6 +60,7 @@ def test_matches_fixed_coefs_step():
     assert float(jnp.abs(s_dp.lam[unpinned]).max()) == 0.0
 
 
+@pytest.mark.heavy
 def test_pallas_g_and_hvp_dense_pins():
     """Flat-Pallas g_and_hvp with DensePins == jax.linearize(grad_L)."""
     from tlfea.ops import pallas_fem

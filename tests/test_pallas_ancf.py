@@ -92,12 +92,14 @@ def _hv_parity(coefs, elems, mat, seed):
     assert float(jnp.abs(h_got - h_ref).max()) / float(jnp.abs(h_ref).max()) < 1e-4
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("damped", [False, True])
 def test_ancf3243_pallas_jvp_parity(damped):
     coefs, elems = _beam()
     _jvp_parity(coefs, elems, _mat(damped), seed=11)
 
 
+@pytest.mark.heavy
 def test_ancf3243_pallas_hv_parity():
     coefs, elems = _beam()
     _hv_parity(coefs, elems, _mat(True), seed=12)

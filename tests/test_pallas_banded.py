@@ -281,6 +281,7 @@ def test_banded_linear_constraints_pin_terms_split():
     assert _rel(hvp_b(st["p"]), hvp_ref(st["p"])) < 1e-11
 
 
+@pytest.mark.heavy
 def test_banded_blocks_kernel_matches_xla():
     """Block-Jacobi assembly through the banded kernel (6-channel SYM6
     scatter) == the XLA-path `precond_blocks` (r4: the XLA `.at[conn].add`
@@ -307,6 +308,7 @@ def test_banded_blocks_kernel_matches_xla():
     assert _rel(b_banded, jnp.swapaxes(b_banded, -1, -2)) < 1e-12
 
 
+@pytest.mark.heavy
 def test_resident_inner_matches_newton_inner():
     """Single-kernel resident Newton solve (ops/pallas_resident) == the
     composed banded path: same algebra cores, CG recurrences, EW forcing —

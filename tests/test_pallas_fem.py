@@ -4,6 +4,8 @@ CPU; the same kernel compiles natively on TPU)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # interpret-mode kernel execution (minutes on CPU)
+
 import jax
 import jax.numpy as jnp
 

@@ -265,16 +265,18 @@ def _kernel(
         return (v, k, conv, ng_new, ng0, ng_new, cgt + cg_it)
 
     big = jnp.asarray(jnp.inf, dtype)
-    v_fin, iters, _, norm_g, _, _, cg_tot = jax.lax.while_loop(
+    v_fin, iters, _, norm_g, norm_g0, _, cg_tot = jax.lax.while_loop(
         newton_cond, newton_body,
         (vwin_ref[0], jnp.asarray(0, jnp.int32), jnp.asarray(False),
          big, big, big, jnp.asarray(0, jnp.int32)),
     )
     vout_ref[0, :, :] = v_fin
     fstat_ref[0] = norm_g
-    # Define the full stats vector: slot 1 would otherwise be uninitialized
-    # device memory (advisor r4 #3). Reserved for a future second statistic.
-    fstat_ref[1] = jnp.zeros((), dtype)
+    # First-iteration ||g|| (carry slot ng0): the one history entry the
+    # resident path can export — `newton_inner_resident` surfaces it as
+    # hist[0] so rest-gradient telemetry checks (the TPU miscompile pin,
+    # tests/test_banded_tpu_regression.py) keep working on this path.
+    fstat_ref[1] = norm_g0
     istat_ref[0] = iters
     istat_ref[1] = cg_tot
 
@@ -387,4 +389,5 @@ def newton_inner_resident(v0, f_ext, params, system, inv_blocks0,
 
     v = from_windows(voutw, bnd)
     hist = jnp.full((params.max_inner + 1,), jnp.nan, dtype=dtype)
+    hist = hist.at[0].set(fstat[1])  # first-iteration ||g|| (see _kernel)
     return v, istat[0], fstat[0], istat[1], hist
