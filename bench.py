@@ -430,12 +430,15 @@ def _collision_scene(kind):
         # round-3 red-test root cause — see tests/test_sharding.py).
         fn, fc = box_t10_mesh(2.5 * ext[0], 2.5 * ext[1], 0.2 * ext[2], 6, 6, 2)
         floor = mm.add_mesh(fn, fc, "floor")
-        # Resting-contact start: floor top 1 mm INTO the item, zero initial
-        # velocity — the item settles onto the floor and the whole timed
-        # region is contact-rich (a falling start bounces and is airborne
-        # again within the 40-step window at dt=2e-4; measured zero contacts
-        # at the end of the timed rollout).
-        overlap = 0.001 * max(ext[2] / 0.1, 1.0)
+        # Pressed-contact start (stable + contact-rich): floor top pushed
+        # 0.15*H INTO the dragon, dragon TOP pinned so the press persists
+        # through the whole timed region (the reference's gripper-press
+        # idiom). Shallower overlaps measured ZERO patches: the dragon's
+        # feet/legs are thin, so every tet there has all 4 corners on the
+        # surface and an identically-zero pressure field (86% of the
+        # reference's own dragon.npz corner pressures are zero); the first
+        # interior-corner tets engage near the belly, ~0.15*H deep.
+        overlap = 0.15 * ext[2]
         mm.translate_mesh(floor, (inodes[:, 0].min() - 0.75 * ext[0],
                                   inodes[:, 1].min() - 0.75 * ext[1],
                                   inodes[:, 2].min() - 0.2 * ext[2] + overlap))
@@ -458,6 +461,12 @@ def _collision_scene(kind):
     zext = nodes[:, 2].max() - zmin
     thresh = 1e-9 if kind != "collision" else 0.05 * zext
     fixed = np.nonzero(nodes[:, 2] < zmin + thresh)[0]
+    if kind == "dragon":
+        # Pin the dragon's top as well (pressed-contact hold, see above).
+        item_nodes = scene.mesh_node_ids(meshes[0])
+        iz = nodes[item_nodes, 2]
+        top = item_nodes[iz > iz.max() - 0.08 * (iz.max() - iz.min())]
+        fixed = np.unique(np.concatenate([fixed, top]))
     system = System(
         elems=feat10.build(nodes, conn, rho=1000.0, dtype=dtype),
         material=mat,

@@ -3,6 +3,7 @@
 stalls — see .claude/skills/verify/SKILL.md rough edges)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def test_frozen_coarse_precond_cuts_cg_and_preserves_solution():
     assert err < 1e-5 * max(scale, 1e-12), (err, scale)
 
 
+@pytest.mark.slow
 def test_range_mode_matches_grid_mode():
     """ranges=True (contiguous index aggregates; reshape-sum restrict) must
     be a valid coarse correction: same converged Newton step as the dense
@@ -193,6 +195,7 @@ def test_mm_dtype_bf16_apply_parity_and_step():
     )
 
 
+@pytest.mark.slow
 def test_rank_truncated_coarse():
     """rank=r keeps the r smallest-eigenvalue coarse modes (whitened W, SPSD
     by construction — see CoarsePrecond.W). It must (a) stay a symmetric

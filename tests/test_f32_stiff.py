@@ -15,6 +15,7 @@ The reference's stiff beam-sag config (`lib_bin/beam_sag/test_ancf3243.cc:
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tlfea.constraints import FixedCoefs
 from tlfea.elements import feat10
@@ -65,6 +66,7 @@ def _run(system, state, f_ext, n_steps, ramp):
     return final, state
 
 
+@pytest.mark.slow
 def test_f32_newton_accuracy_mode_stiff_beam():
     """Accuracy mode (f64 displacement vector only): <= 0.1% of load."""
     system, state, f_ext = _stiff_problem(np.float32, accum="float64")
@@ -73,6 +75,7 @@ def test_f32_newton_accuracy_mode_stiff_beam():
     assert final <= 1e-3, f"accuracy-mode residual {final:.3e} > 1e-3"
 
 
+@pytest.mark.slow
 def test_f32_newton_pure_f32_stiff_beam():
     """Pure f32 stays stable and within the documented eps*E*theta floor."""
     system, state, f_ext = _stiff_problem(np.float32)

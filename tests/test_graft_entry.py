@@ -29,6 +29,7 @@ def test_dryrun_multichip_driver_style():
     assert "ok" in out.stdout
 
 
+@pytest.mark.slow
 def test_entry_traces():
     """entry() returns a function that traces (abstract eval) on the example
     args — catches signature/shape breakage without a full compile."""
