@@ -170,7 +170,8 @@ def run_scale(name, rollout=None, tol=2.5e-2):
             and system.pallas.banded.n_blocks == 1):
         coarse = None
         roll = newton.make_rollout(system, params, rollout, precond_refresh=8)
-        return _measure(name, roll, state, f_ext, rollout, n_elem, system)
+        return _measure(name, roll, state, f_ext, rollout, n_elem, system,
+                        max_inner=params.max_inner)
 
     try:
         # Range-mode aggregation at scale: exactly the dense coarse space,
@@ -207,10 +208,12 @@ def run_scale(name, rollout=None, tol=2.5e-2):
         coarse = None
     roll = newton.make_rollout(system, params, rollout, coarse=coarse,
                                precond_refresh=8)
-    return _measure(name, roll, state, f_ext, rollout, n_elem, system)
+    return _measure(name, roll, state, f_ext, rollout, n_elem, system,
+                    max_inner=params.max_inner)
 
 
-def _measure(name, roll, state, f_ext, rollout, n_elem, system):
+def _measure(name, roll, state, f_ext, rollout, n_elem, system,
+             max_inner=None):
     import jax
 
     s, (nit, cgit) = roll(state, f_ext)  # compile + warm (settles transients)
@@ -240,6 +243,14 @@ def _measure(name, roll, state, f_ext, rollout, n_elem, system):
         "cg_per_step": float(np.median(np.asarray(cgit))),
         "vs_target": round(steps_per_sec / target, 4),
     }
+    if max_inner is not None:
+        # Fraction of timed steps that exhausted the Newton budget WITHOUT
+        # reaching the tolerance (honesty flag: a capped step is not a
+        # converged step — the 0.5%-tol entry caps on most steps in the
+        # peak-|v| transient window, where the f32 attainable floor rises
+        # with h*K*eps*|v|; see PERF_NOTES "Float32 convergence floor").
+        info["newton_capped_frac"] = round(
+            float((np.asarray(nit) >= max_inner).mean()), 3)
     _add_roofline(info, system, wall / rollout)
     print(f"[{name}] {info}", file=sys.stderr)
     return info
@@ -669,10 +680,13 @@ def main():
             elif name in ("collision", "dragon"):
                 series[name] = run_collision(name)
             elif name.endswith("_tight"):
-                # Tight convergence: 0.5% of the load norm. The measured f32
-                # residual floor post displacement-space rework is ~4e-4 of load
-                # mid-transient (PERF_NOTES), so this tolerance is honestly
-                # attainable; the 2.5e-2 entries remain for round-1 comparability.
+                # Tight convergence: 0.5% of the load norm. Attainable near
+                # rest and early transient; in the PEAK-|v| window the f32
+                # floor (h*K*eps*|v|, PERF_NOTES) rises past it and most
+                # steps exhaust the Newton budget instead — the entry's
+                # newton_capped_frac records exactly how many. Kept at this
+                # tolerance for cross-round comparability; read it together
+                # with that flag.
                 series[name] = run_scale(name[: -len("_tight")], tol=5e-3)
             else:
                 series[name] = run_scale(name)
