@@ -30,6 +30,7 @@ def setup():
     return nodes, system
 
 
+@pytest.mark.slow
 def test_frozen_coarse_precond_cuts_cg_and_preserves_solution():
     """CoarsePrecond (frozen, matmul apply, translations+rotations) on a
     stiff slender cantilever: >=4x fewer CG iterations than block-Jacobi,
@@ -147,6 +148,7 @@ def test_range_mode_matches_grid_mode():
     )
 
 
+@pytest.mark.slow
 def test_mm_dtype_bf16_apply_parity_and_step():
     """mm_dtype="bfloat16" stores the apply tables in bf16 and runs the
     apply matmuls in it. The correction is preconditioner-quality: the

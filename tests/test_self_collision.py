@@ -24,6 +24,7 @@ def hairpin():
     return nodes, conn
 
 
+@pytest.mark.slow
 def test_grid_broadphase_finds_cross_leg_pairs(hairpin):
     """With a margin larger than the gap, the grid broadphase must produce
     candidate pairs between the two legs (same mesh, topologically distant)

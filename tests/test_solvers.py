@@ -82,6 +82,7 @@ def test_newton_beam_sag_converges(beam):
     assert float(diag["norm_c"]) < 1e-6
 
 
+@pytest.mark.slow
 def test_first_order_solvers_match_newton(beam):
     """All solvers minimize the same incremental objective. Compare the pure
     penalty subproblem (single outer iteration, lam = 0): the minimizer is
