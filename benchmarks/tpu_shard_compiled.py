@@ -40,7 +40,10 @@ def main(n_steps=10):
 
     assert jax.default_backend() != "cpu", "this harness needs the real TPU"
 
-    system, state, params, f_ext = _build_flagship_problem(42, 7, 6)  # 10,584
+    # TLFEA_SHARD_SCALE=10k|100k (bench mesh configs).
+    dims = {"10k": (42, 7, 6), "100k": (96, 16, 11)}[
+        os.environ.get("TLFEA_SHARD_SCALE", "10k")]
+    system, state, params, f_ext = _build_flagship_problem(*dims)
     psys = pallas_fem.with_pallas(system, banded="auto")
     assert getattr(psys.pallas, "banded", None) is not None, "banded not built"
     coarse = build_coarse_precond(system, state.x, float(params.dt),
