@@ -1,23 +1,25 @@
-"""Headline benchmark: sustained implicit Newton-PCG throughput on T10 meshes.
+"""Headline benchmark: sustained implicit Newton-PCG throughput.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "series"}.
 
-Measurement protocol (round 2):
+Measurement protocol (round 5):
 - Steps are CONVERGENCE-driven (inner_atol = 2.5% of the load norm, the
   float32 attainable floor — see PERF_NOTES.md; Eisenstat-Walker CG forcing
-  on), not a fixed iteration budget.
-- Throughput is measured as a sustained ROLLOUT: N steps chained inside one
-  jit (lax.scan), the production shape. Measured on this axon v5e tunnel:
-  per-dispatch overhead is 25+ ms once large executables have run, so
-  per-step dispatch timing measures the tunnel, not the solver
-  (76 ms/dispatch vs 49 ms/step in-rollout for identical physics).
-- vs_baseline: north-star is a 10 ms implicit step at 100k elems on 8 chips
-  = 12.5k elems per chip per 10 ms; at E elements the target is
-  1 / (0.010 * E / 12.5k) steps/s on one chip.
+  on), not a fixed iteration budget. Entries record newton/cg medians and
+  `newton_capped_frac` (budget exits that did NOT converge).
+- Throughput is a sustained ROLLOUT: N steps chained inside one jit
+  (lax.scan), N per scale (see ROLLOUT) so the device program dominates the
+  fixed ~25 ms per-dispatch tunnel round trip (recorded as `dispatch_ms`).
+- Collision scales run the FUSED collision+solve scan
+  (`newton.make_coupled_rollout`) after a host-driven capacity-growing
+  warmup, with in-scan per-phase breakdowns.
+- vs_baseline/vs_target: north-star is a 10 ms implicit step at 100k elems
+  on 8 chips = 12.5k elems per chip per 10 ms; at E elements the target is
+  1 / (0.010 * E / 12.5k) steps/s on one chip (ANCF entries use
+  QP*S-equivalent elements, recorded as e_eff).
 
-Scales: default runs 1k + 10.6k elems (headline = 10.6k). Set
-TLFEA_BENCH_SCALES=1k,10k,100k for the full series (100k compile is slow
-over the tunnel on a cold cache).
+Default series: 10k,100k,ancf_shell,1k,collision,dragon,10k_tight
+(headline = 10k). Override with TLFEA_BENCH_SCALES.
 """
 
 import json
